@@ -1,0 +1,43 @@
+"""Test harness: force an 8-device virtual CPU platform BEFORE jax imports.
+
+This is the TPU-world analog of "multi-node testing without a cluster"
+(SURVEY.md section 4): every sharded train step is exercised on a
+`jax.sharding.Mesh` over 8 virtual CPU devices.
+"""
+
+import os
+
+# Must run before any jax import anywhere in the test session. Force-override:
+# the environment presets JAX_PLATFORMS=axon (the real TPU tunnel), but tests
+# run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Persistent compilation cache: XLA:CPU compiles of 3D conv grads run minutes;
+# cache them across test sessions.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

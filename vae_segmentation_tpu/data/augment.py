@@ -1,0 +1,115 @@
+"""Device-side spatial augmentation + ingest — the compiled replacement for
+batchgenerators' augment_spatial (utils/utils.py:927-969 configured at
+main_source.py:197-206) and the Clip/CenterIntensities/one-hot chain
+(main_source.py:211-213,390-392).
+
+Reference semantics reproduced:
+  * per-sample affine: rotation uniform(-0.2, 0.2) rad per axis (always, p=1),
+    scale with batchgenerators' split draw — 50%: uniform(0.85, 1) zoom-in,
+    50%: uniform(1, 1.15) zoom-out (applied by multiplying the zero-centered
+    output coordinates);
+  * rotation composition Rx @ Ry @ Rz applied as M^T @ coords
+    (batchgenerators rotate_coords_3d);
+  * random crop center uniform in
+    [patch/2 - 5, shape - (patch/2 - 5)] per axis
+    (MySpatialTransform patch_center_dist_from_border = dis//2 - 5,
+    main_source.py:197);
+  * image border constant -1024, label border 0, label nearest-neighbor.
+
+Deliberate TPU-first deviation: image interpolation is trilinear (order 1),
+not the reference's order-3 cubic spline — jax map_coordinates supports
+order <= 1, and for training augmentation the distributional difference is
+negligible (validated statistically in tests/test_augment.py).
+
+The whole thing runs inside jit: ~130 MB of coordinate math per batch of 4
+that the reference spent 16 host worker processes on.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+# Intensity pipeline constants (main_source.py:211-212).
+CLIP_MIN, CLIP_MAX = -200.0, 400.0
+SUBTRAHEND, DIVISOR = 100.0, 300.0
+BORDER_CVAL_DATA = -1024.0
+
+ROT_RANGE = 0.2          # radians, per axis (main_source.py:201-202)
+SCALE_RANGE = (0.85, 1.15)  # main_source.py:199
+
+
+def _rotation_matrix(a_x, a_y, a_z):
+    """Rx @ Ry @ Rz, batchgenerators' composition order."""
+    cx, sx = jnp.cos(a_x), jnp.sin(a_x)
+    cy, sy = jnp.cos(a_y), jnp.sin(a_y)
+    cz, sz = jnp.cos(a_z), jnp.sin(a_z)
+    rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return rx @ ry @ rz
+
+
+def _zero_centered_mesh(patch_size: Tuple[int, int, int]) -> jax.Array:
+    """[3, D, H, W] coordinate mesh centered at 0 (batchgenerators
+    create_zero_centered_coordinate_mesh)."""
+    axes = [jnp.arange(s, dtype=jnp.float32) - (s - 1) / 2.0
+            for s in patch_size]
+    grid = jnp.meshgrid(*axes, indexing="ij")
+    return jnp.stack(grid, axis=0)
+
+
+def _sample_affine_coords(key: jax.Array, patch_size, in_shape) -> jax.Array:
+    """Random rotate+scale+crop-center coordinates for one sample."""
+    k_rot, k_scale_branch, k_scale, k_ctr = jax.random.split(key, 4)
+    coords = _zero_centered_mesh(patch_size)
+
+    angles = jax.random.uniform(k_rot, (3,), minval=-ROT_RANGE, maxval=ROT_RANGE)
+    m = _rotation_matrix(angles[0], angles[1], angles[2])
+    flat = coords.reshape(3, -1)
+    coords = (m.T @ flat).reshape(coords.shape)
+
+    # batchgenerators' split scale draw (augment_spatial):
+    # 50%: uniform(scale_lo, 1); 50%: uniform(1, scale_hi)
+    zoom_in = jax.random.bernoulli(k_scale_branch, 0.5)
+    u = jax.random.uniform(k_scale)
+    sc = jnp.where(zoom_in,
+                   SCALE_RANGE[0] + u * (1.0 - SCALE_RANGE[0]),
+                   1.0 + u * (SCALE_RANGE[1] - 1.0))
+    coords = coords * sc
+
+    # random crop center, uniform in [dist, shape - dist]
+    dist = jnp.array([p // 2 - 5 for p in patch_size], jnp.float32)
+    shape = jnp.array(in_shape, jnp.float32)
+    ctr = dist + jax.random.uniform(k_ctr, (3,)) * (shape - 2.0 * dist)
+    return coords + ctr[:, None, None, None]
+
+
+def _warp_one(image: jax.Array, label: jax.Array, key: jax.Array,
+              patch_size) -> Tuple[jax.Array, jax.Array]:
+    coords = _sample_affine_coords(key, patch_size, image.shape)
+    img_out = map_coordinates(image, list(coords), order=1, mode="constant",
+                              cval=BORDER_CVAL_DATA)
+    lab_out = map_coordinates(label, list(coords), order=0, mode="constant",
+                              cval=0.0)
+    return img_out, lab_out
+
+
+@partial(jax.jit, static_argnames=("patch_size",))
+def spatial_augment(images: jax.Array, labels: jax.Array, key: jax.Array,
+                    patch_size: Tuple[int, int, int] = (128, 128, 128)):
+    """Batched random affine warp. images/labels: [B, D, H, W] float32."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(_warp_one, in_axes=(0, 0, 0, None))(
+        images, labels, keys, patch_size)
+
+
+def intensity_normalize(images: jax.Array) -> jax.Array:
+    """Clip(-200, 400) then (x - 100) / 300 (main_source.py:211-212,
+    utils/utils.py:508-533,572-618)."""
+    x = jnp.clip(images, CLIP_MIN, CLIP_MAX)
+    return (x - SUBTRAHEND) / DIVISOR

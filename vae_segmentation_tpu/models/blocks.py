@@ -1,0 +1,240 @@
+"""Conv building blocks, TPU-first.
+
+Structural parity targets (reference joint_model.py):
+  * Normalization switch (InstanceNorm3d/BatchNorm3d/GSNorm3d) — joint_model.py:9-15
+  * DoubleConv = 3x (conv3^3 + norm + ReLU)                    — joint_model.py:35-52
+  * Conv       = conv3^3 + norm + ReLU                          — joint_model.py:101-112
+  * Down       = strided 2^3 conv (ch-preserving) + DoubleConv  — joint_model.py:126-136
+  * Up         = ConvTranspose3d 2^3 (ch-preserving) + DoubleConv — joint_model.py:114-124
+  * GSNorm3d group-sum norm                                     — joint_model.py:17-33
+
+TPU-first decisions (not a translation):
+  * channels-LAST layout [B, D, H, W, C] so XLA tiles convs onto the MXU with
+    the lane dimension on channels;
+  * compute dtype bf16 for convs (param dtype fp32), fp32 for normalization
+    statistics and softmax;
+  * InstanceNorm has no params and no running stats, matching torch's
+    nn.InstanceNorm3d(affine=False, track_running_stats=False) defaults used
+    by the reference — eval mode equals train mode by construction;
+  * torch-matching init (kaiming_uniform(a=sqrt5) == U(+-1/sqrt(fan_in)))
+    so training dynamics are comparable out of the box.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# Feature maps used by every model in the zoo (joint_model.py:207,276,352,395).
+DEFAULT_FMAPS = (8, 16, 32, 64, 128, 256)
+
+
+def torch_uniform_init(fan_in_from: str = "conv"):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — what torch's default
+    kaiming_uniform_(a=sqrt(5)) evaluates to for conv/linear weights, and what
+    torch uses for biases.
+
+    fan_in_from:
+      'conv'      — kernel [*k, in, out]: fan_in = prod(k) * in
+      'transpose' — kernel [*k, in, out] of a ConvTranspose: torch computes
+                    fan_in from dim 1 of its (in, out, *k) weight, i.e.
+                    prod(k) * out
+      'dense'     — kernel [in, out]: fan_in = in
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        if fan_in_from == "dense":
+            fan_in = shape[0]
+        elif fan_in_from == "transpose":
+            fan_in = math.prod(shape[:-2]) * shape[-1]
+        else:
+            fan_in = math.prod(shape[:-1])
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_bias_init(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Parameter-free InstanceNorm over spatial dims of [B, D, H, W, C].
+
+    torch nn.InstanceNorm3d(C) defaults: affine=False, no running stats,
+    eps=1e-5, biased variance (joint_model.py:11). Statistics in fp32.
+    """
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2, 3), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(orig_dtype)
+
+
+def gs_norm(x: jax.Array, num_group: int = 1, eps: float = 1e-4) -> jax.Array:
+    """Group-sum normalization (joint_model.py:17-33): within each channel
+    group, divide by the sum over channels (+1e-4)."""
+    b, d, h, w, c = x.shape
+    x32 = x.astype(jnp.float32).reshape(b, d, h, w, num_group, c // num_group)
+    denom = jnp.sum(x32, axis=-1, keepdims=True) + eps
+    return (x32 / denom).reshape(b, d, h, w, c).astype(x.dtype)
+
+
+class Norm(nn.Module):
+    """Normalization dispatch (joint_model.py:9-15). norm_type: 1=instance,
+    2=batch (not supported — the reference recipes only ever use 1), 3=gsnorm."""
+
+    norm_type: int = 1
+    num_group: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        if self.norm_type == 1:
+            return instance_norm(x)
+        if self.norm_type == 3:
+            return gs_norm(x, self.num_group)
+        raise NotImplementedError(
+            f"norm_type={self.norm_type}: the shipped recipes use norm_type=1 "
+            "(InstanceNorm); BatchNorm is intentionally unsupported."
+        )
+
+
+def _act(soft: bool):
+    return jax.nn.softplus if soft else jax.nn.relu
+
+
+def mc_dropout(module: nn.Module, x: jax.Array, rate: float) -> jax.Array:
+    """Functional MC dropout, always active when rate > 0 — the semantics of
+    torch F.dropout(p, training=True) as used for decoder/seg MC sampling
+    (joint_model.py:256-264,379-387). Draws from the module's 'dropout' RNG
+    stream."""
+    if not rate:
+        return x
+    key = module.make_rng("dropout")
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
+class Conv3(nn.Module):
+    """3^3 same-padding conv with torch-style init."""
+
+    features: int
+    kernel: Sequence[int] = (3, 3, 3)
+    strides: Sequence[int] = (1, 1, 1)
+    padding: Any = "SAME"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        fan_in = math.prod(self.kernel) * in_ch
+        return nn.Conv(
+            self.features,
+            kernel_size=tuple(self.kernel),
+            strides=tuple(self.strides),
+            padding=self.padding,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=torch_uniform_init("conv"),
+            bias_init=torch_bias_init(fan_in),
+        )(x)
+
+
+class ConvNormAct(nn.Module):
+    """conv3^3 + norm + activation (reference `Conv`, joint_model.py:101-112)."""
+
+    features: int
+    norm_type: int = 1
+    soft: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv3(self.features, dtype=self.dtype)(x)
+        x = Norm(self.norm_type)(x)
+        return _act(self.soft)(x)
+
+
+class DoubleConv(nn.Module):
+    """3x (conv3^3 + norm + act) (joint_model.py:35-52; despite the name it is
+    a triple conv in the reference)."""
+
+    features: int
+    norm_type: int = 1
+    soft: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(3):
+            x = Conv3(self.features, dtype=self.dtype)(x)
+            x = Norm(self.norm_type)(x)
+            x = _act(self.soft)(x)
+        return x
+
+
+class Down(nn.Module):
+    """Channel-preserving strided 2^3 conv then DoubleConv(in->out)
+    (joint_model.py:126-136)."""
+
+    features: int
+    norm_type: int = 1
+    soft: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv3(x.shape[-1], kernel=(2, 2, 2), strides=(2, 2, 2),
+                  padding="VALID", dtype=self.dtype)(x)
+        return DoubleConv(self.features, self.norm_type, self.soft,
+                          dtype=self.dtype)(x)
+
+
+class Up(nn.Module):
+    """Channel-preserving ConvTranspose 2^3 stride 2 then DoubleConv(in->out)
+    (joint_model.py:114-124)."""
+
+    features: int
+    norm_type: int = 1
+    soft: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        x = nn.ConvTranspose(
+            in_ch,
+            kernel_size=(2, 2, 2),
+            strides=(2, 2, 2),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=torch_uniform_init("transpose"),
+            bias_init=torch_bias_init(8 * in_ch),
+        )(x)
+        return DoubleConv(self.features, self.norm_type, self.soft,
+                          dtype=self.dtype)(x)
+
+
+class OutConv(nn.Module):
+    """Plain 3^3 conv head (no norm/act), fp32 output for the softmax
+    (joint_model.py:224,366)."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv3(self.features, dtype=self.dtype)(x)
+        return x.astype(jnp.float32)

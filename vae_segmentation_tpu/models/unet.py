@@ -1,0 +1,68 @@
+"""Segmentation U-Net (reference `Segmentation`, joint_model.py:349-390).
+
+5-stage encoder (8->128 ch, 128^3 -> 8^3), 4-stage decoder with skip-ADDS at
+exactly two scales (x += x3 after up3, x += x2 after up4;
+joint_model.py:380-382), conv head + softmax. Optional MC dropout after each
+decoder stage AND after the head conv, before the softmax
+(joint_model.py:379-387).
+
+The reference's dict-in/dict-out convention (forward(data_dict, in_key,
+out_key)) lives one level up, in models/joint.py — the module itself is a pure
+array -> array function, which is what jit wants.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vae_segmentation_tpu.models.blocks import (
+    DEFAULT_FMAPS,
+    ConvNormAct,
+    Down,
+    OutConv,
+    Up,
+    mc_dropout,
+)
+
+
+class SegUNet(nn.Module):
+    """[B, D, H, W, n_channels] image -> [B, D, H, W, n_class] probabilities."""
+
+    n_class: int = 2
+    norm_type: int = 1
+    fmaps: Sequence[int] = DEFAULT_FMAPS
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        f = self.fmaps
+        kw = dict(norm_type=self.norm_type, dtype=self.dtype)
+        self.in_block = ConvNormAct(f[0], **kw)
+        self.down1 = Down(f[1], **kw)
+        self.down2 = Down(f[2], **kw)
+        self.down3 = Down(f[3], **kw)
+        self.down4 = Down(f[4], **kw)
+        self.up2 = Up(f[3], **kw)
+        self.up3 = Up(f[2], **kw)
+        self.up4 = Up(f[1], **kw)
+        self.up5 = Up(f[0], **kw)
+        self.out_block = OutConv(self.n_class, dtype=self.dtype)
+
+    def __call__(self, x: jax.Array, dropout: float = 0.0) -> jax.Array:
+        def drop(h):
+            return mc_dropout(self, h, dropout)
+
+        x1 = self.in_block(x)
+        x2 = self.down1(x1)
+        x3 = self.down2(x2)
+        x4 = self.down3(x3)
+        x5 = self.down4(x4)
+        h = drop(self.up2(x5))
+        h = drop(self.up3(h) + x3.astype(self.dtype))
+        h = drop(self.up4(h) + x2.astype(self.dtype))
+        h = drop(self.up5(h))
+        h = drop(self.out_block(h))
+        return jax.nn.softmax(h.astype(jnp.float32), axis=-1)

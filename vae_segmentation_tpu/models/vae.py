@@ -1,0 +1,122 @@
+"""Shape-prior VAE (reference `VAE`, joint_model.py:204-272).
+
+6-stage 3D conv encoder (8->256 channels, 128^3 -> 4^3), flatten to 16384,
+fc_mean / fc_std -> latent (dim=128 in every shipped recipe,
+main_source.py:250), ReLU-constrained std (joint_model.py:243), reparameterized
+decode fc2(mean + z * std * scale) (joint_model.py:246-250), 6-stage decoder
+with optional per-stage MC dropout (joint_model.py:255-264), softmax head.
+
+`mid_input=True` decodes straight from a latent vector (joint_model.py:251-252).
+
+TPU-first notes:
+  * NDHWC layout; the 16384-dim bottleneck flatten is spatial-major
+    (d, h, w, c) — torch checkpoints are permuted on conversion
+    (see models/torch_compat.py);
+  * the reparameterization draw uses the linen RNG stream 'reparam';
+    decoder MC dropout uses 'dropout' and is active whenever rate > 0
+    (matching torch F.dropout(training=True), joint_model.py:256-264).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vae_segmentation_tpu.models.blocks import (
+    DEFAULT_FMAPS,
+    ConvNormAct,
+    Down,
+    OutConv,
+    Up,
+    mc_dropout,
+    torch_bias_init,
+    torch_uniform_init,
+)
+
+
+def _dense(features: int, in_features: int, dtype) -> nn.Dense:
+    return nn.Dense(
+        features,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=torch_uniform_init("dense"),
+        bias_init=torch_bias_init(in_features),
+    )
+
+
+class ShapeVAE(nn.Module):
+    """VAE over one-hot shape masks [B, D, H, W, n_class]."""
+
+    n_class: int = 2
+    norm_type: int = 1
+    fmaps: Sequence[int] = DEFAULT_FMAPS
+    dim: int = 128
+    soft: bool = False
+    dtype: Any = jnp.bfloat16
+    bottleneck: int = 16384  # fmaps[5] * 4^3 at the 128^3 patch size
+
+    def setup(self):
+        f = self.fmaps
+        kw = dict(norm_type=self.norm_type, soft=self.soft, dtype=self.dtype)
+        self.in_block = ConvNormAct(f[0], **kw)
+        self.down1 = Down(f[1], **kw)
+        self.down2 = Down(f[2], **kw)
+        self.down3 = Down(f[3], **kw)
+        self.down4 = Down(f[4], **kw)
+        self.down5 = Down(f[5], **kw)
+        self.fc_mean = _dense(self.dim, self.bottleneck, self.dtype)
+        self.fc_std = _dense(self.dim, self.bottleneck, self.dtype)
+        self.fc2 = _dense(self.bottleneck, self.dim, self.dtype)
+        self.up1 = Up(f[4], **kw)
+        self.up2 = Up(f[3], **kw)
+        self.up3 = Up(f[2], **kw)
+        self.up4 = Up(f[1], **kw)
+        self.up5 = Up(f[0], **kw)
+        self.out_block = OutConv(self.n_class, dtype=self.dtype)
+
+    def encode(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """One-hot mask -> (mean, std), std >= 0 (joint_model.py:235-243)."""
+        x = self.in_block(x)
+        x = self.down1(x)
+        x = self.down2(x)
+        x = self.down3(x)
+        x = self.down4(x)
+        x = self.down5(x)
+        x = x.reshape(x.shape[0], -1)
+        mean = self.fc_mean(x).astype(jnp.float32)
+        std = jax.nn.relu(self.fc_std(x).astype(jnp.float32))
+        return mean, std
+
+    def decode(self, z: jax.Array, dropout: float = 0.0) -> jax.Array:
+        """Latent [B, dim] -> softmax probabilities [B, D, H, W, n_class]
+        (joint_model.py:252-266)."""
+        side = round((self.bottleneck // self.fmaps[5]) ** (1.0 / 3.0))
+        x = self.fc2(z.astype(self.dtype))
+        x = x.reshape(x.shape[0], side, side, side, self.fmaps[5])
+        for up in (self.up1, self.up2, self.up3, self.up4, self.up5):
+            x = up(x)
+            x = mc_dropout(self, x, dropout)
+        x = self.out_block(x)
+        return jax.nn.softmax(x, axis=-1)
+
+    def __call__(self, x: jax.Array, if_random: bool = False, scale: float = 1.0,
+                 mid_input: bool = False, dropout: float = 0.0):
+        """Full forward (joint_model.py:227-272).
+
+        Returns (recon, mean, std) — or just recon when mid_input=True.
+        """
+        if mid_input:
+            return self.decode(x, dropout=dropout)
+        mean, std = self.encode(x)
+        if if_random:
+            z = jax.random.normal(self.make_rng("reparam"), mean.shape,
+                                  dtype=jnp.float32)
+            latent = mean + z * std * scale
+        else:
+            latent = mean
+        recon = self.decode(latent, dropout=dropout)
+        return recon, mean, std

@@ -1,0 +1,122 @@
+"""Losses & metrics, as pure jnp functions.
+
+Behavioral parity targets (reference, cited file:line):
+  * soft Dice `dice`                  — utils/evaluation.py:6-7
+  * per-sample-per-class `avg_dsc`    — utils/evaluation.py:48-80
+    (a second copy with eps=1e-4 lives in main_source.py:150-182; the eps is
+    therefore a parameter here, defaulting to the evaluation.py value)
+  * `KLloss`                          — utils/evaluation.py:42-45
+  * `binarize` / `confident_binarize` — utils/evaluation.py:9-18
+  * `avg_ce` (BCE)                    — utils/evaluation.py:29-39
+
+Layout: class axis is LAST (TPU-native NDHWC); masks are [B, D, H, W, C].
+The reference uses NCDHW ([B, C, D, H, W]); axis bookkeeping is the only
+difference — reductions are over the spatial axes either way.
+
+All reductions accumulate in float32 regardless of input dtype (inputs may be
+bf16 activations).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# eps used by utils/evaluation.py:72-79 (the target-domain trainer)
+EVAL_EPS = 1e-6
+# eps used by the duplicated copy in main_source.py:174-181 (source trainer)
+SOURCE_EPS = 1e-4
+
+_SPATIAL = (1, 2, 3)  # D, H, W axes of a [B, D, H, W, C] tensor
+
+
+def dice(a: jax.Array, b: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Global soft Dice over all elements (utils/evaluation.py:6-7)."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    return 2.0 * jnp.sum(a * b) / (jnp.sum(a) + jnp.sum(b) + eps)
+
+
+def binarize(a: jax.Array) -> jax.Array:
+    """Hard threshold at 0.5 (utils/evaluation.py:9-10)."""
+    return (a >= 0.5).astype(jnp.float32)
+
+
+def confident_binarize(a: jax.Array, hi: float = 0.8, lo: float = 0.2) -> jax.Array:
+    """Push confident probabilities to {0,1}, keep the rest soft
+    (utils/evaluation.py:12-18)."""
+    a = a.astype(jnp.float32)
+    return jnp.where(a > hi, 1.0, jnp.where(a < lo, 0.0, a))
+
+
+def onehot_argmax(probs: jax.Array) -> jax.Array:
+    """Argmax over the class axis, re-expanded to one-hot.
+
+    Mirrors the scatter_-based binarization in utils/evaluation.py:58-64
+    (class axis last here).
+    """
+    n_class = probs.shape[-1]
+    label = jnp.argmax(probs, axis=-1)
+    return jax.nn.one_hot(label, n_class, dtype=jnp.float32)
+
+
+def soft_dice_per_class(source: jax.Array, target: jax.Array,
+                        eps: float = EVAL_EPS) -> jax.Array:
+    """Per-sample, per-class soft Dice: [B, D, H, W, C] x2 -> [B, C]."""
+    source = source.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    inter = jnp.sum(source * target, _SPATIAL)
+    denom = jnp.sum(source, _SPATIAL) + jnp.sum(target, _SPATIAL)
+    return 2.0 * inter / (denom + eps)
+
+
+def avg_dsc(source: jax.Array, target: jax.Array, *,
+            binary: bool = False, botindex: int = 0, topindex: int = 2,
+            return_mean: bool = True, eps: float = EVAL_EPS) -> jax.Array:
+    """Mean soft Dice with class-range select (utils/evaluation.py:48-80).
+
+    source/target: [B, D, H, W, C] probabilities (or one-hot).
+    binary: argmax-one-hot both masks first (the reference's eval mode).
+    botindex/topindex: class slice [bot:top] taken before averaging.
+    return_mean: scalar if True, per-sample [B] if False.
+
+    Note: like the reference, when C == 1 the class-slice is skipped
+    (utils/evaluation.py:68-79).
+    """
+    if binary:
+        source = onehot_argmax(source)
+        target = onehot_argmax(target)
+    per_class = soft_dice_per_class(source, target, eps)  # [B, C]
+    if source.shape[-1] > 1:
+        per_class = per_class[:, botindex:topindex]
+    if return_mean:
+        return jnp.mean(per_class)
+    return jnp.mean(per_class, axis=1)
+
+
+def kl_loss(mean: jax.Array, std: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """VAE KL to a standard normal, in the reference's parameterization
+    (utils/evaluation.py:42-45): mean over batch of
+    0.5 * (sum std^2 + sum mean^2 - 2 * sum log(std + 1e-5))."""
+    mean = mean.astype(jnp.float32)
+    std = std.astype(jnp.float32)
+    per_sample = 0.5 * (jnp.sum(std ** 2, axis=1)
+                        + jnp.sum(mean ** 2, axis=1)
+                        - 2.0 * jnp.sum(jnp.log(std + eps), axis=1))
+    return jnp.mean(per_sample)
+
+
+def bce(source: jax.Array, target: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Binary cross-entropy on probabilities (utils/evaluation.py:29-39,
+    torch nn.BCELoss semantics: mean over all elements, inputs clamped)."""
+    source = jnp.clip(source.astype(jnp.float32), eps, 1.0 - eps)
+    target = target.astype(jnp.float32)
+    return -jnp.mean(target * jnp.log(source) + (1.0 - target) * jnp.log1p(-source))
+
+
+def one_hot_label(label: jax.Array, n_class: int) -> jax.Array:
+    """Integer label volume [B, D, H, W] -> one-hot [B, D, H, W, C] float32.
+
+    Mirrors the scatter_ one-hot in main_source.py:390-392 (class axis last).
+    """
+    return jax.nn.one_hot(label.astype(jnp.int32), n_class, dtype=jnp.float32)

@@ -1,0 +1,434 @@
+"""Compiled train steps — one jitted pure function per method family.
+
+Each reference training method (main_source.py:249-275 / main_target.py
+:316-344 dispatch) maps to a step factory here:
+
+  vae_train           -> make_vae_train_step      (main_source.py:389-413)
+  seg_train           -> make_seg_train_step      (main_source.py:415-446)
+  joint_train         -> make_joint_train_step    (main_source.py:448-478)
+  domain_adaptation   -> make_adapt_step          (main_target.py:505-613)
+    (cached-pseudo source variant: pass `pseudo` explicitly,
+     main_source.py:480-544)
+  val_finetune (ft1)  -> make_finetune_step       (main_target.py:807-900)
+  discriminator_train -> make_discriminator_step  (main_target.py:494-503)
+  domain_adaptation_dis -> make_adapt_dis_step    (main_target.py:693-732)
+
+The dynamic-hyperparameter ("dh") loss schedule (domain_loss_type 8-16,
+main_target.py:548-592 train path, :835-884 test-time-training path) is
+`adapt_loss` below: loss-type selection is static (config), the
+recon-loss-bucketed lambda is traced (jnp.select / jnp.where) — no Python
+branching on runtime values inside jit.
+
+Epoch-level scalars that change between steps without recompiling
+(lambda_vae incl. --tag decay, warmup ramp, turn_epoch phase) travel in the
+`sched` dict of traced scalars.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from vae_segmentation_tpu.models.joint import Joint, Joint2
+from vae_segmentation_tpu.ops import losses as L
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def init_state(params, tx) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+def _apply_updates(state: TrainState, tx, grads) -> TrainState:
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    return TrainState(step=state.step + 1,
+                      params=optax.apply_updates(state.params, updates),
+                      opt_state=new_opt)
+
+
+def default_sched(lambda_vae: float) -> Dict[str, jnp.ndarray]:
+    return {
+        "lambda_vae": jnp.float32(lambda_vae),
+        "warmup_scale": jnp.float32(1.0),   # epoch/warmup clamp, 1 == past warmup
+        "turn_phase": jnp.int32(1),         # 1 -> recon+pseudo, 0 -> recon only
+    }
+
+
+# --------------------------------------------------------------------------
+# source-domain steps
+# --------------------------------------------------------------------------
+
+def make_vae_train_step(model, tx, n_class: int, *, scale: float = 0.35,
+                        kl_weight: float = 2e-5, eps: float = L.SOURCE_EPS):
+    """VAE shape-prior step (main_source.py:389-413):
+    loss = (1 - avg_dsc(recon, onehot)[1:]) + 2e-5 * KL, reparam scale 0.35."""
+
+    def step(state: TrainState, label: jax.Array, key: jax.Array):
+        onehot = L.one_hot_label(label, n_class)
+
+        def loss_fn(p):
+            recon, mean, std = model.apply(
+                {"params": p}, onehot, if_random=True, scale=scale,
+                rngs={"reparam": key})
+            dsc_loss = 1.0 - L.avg_dsc(recon, onehot, botindex=1,
+                                       topindex=n_class, eps=eps)
+            klv = L.kl_loss(mean, std)
+            return dsc_loss + kl_weight * klv, (dsc_loss, klv)
+
+        (_, (dsc_loss, klv)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads)
+        return new_state, {"dice_loss": dsc_loss, "kl_loss": klv}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_seg_train_step(model, tx, n_class: int, *, eps: float = L.SOURCE_EPS):
+    """Supervised segmentation step (main_source.py:415-446):
+    loss = 1 - avg_dsc(pred, onehot)[1:]."""
+
+    def step(state: TrainState, image: jax.Array, label: jax.Array):
+        onehot = L.one_hot_label(label, n_class)
+
+        def loss_fn(p):
+            pred = model.apply({"params": p}, image[..., None])
+            dsc_loss = 1.0 - L.avg_dsc(pred, onehot, botindex=1,
+                                       topindex=n_class, eps=eps)
+            return dsc_loss, pred
+
+        (dsc_loss, _), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads)
+        return new_state, {"dice_loss": dsc_loss}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_joint_train_step(model: Joint, tx, n_class: int, *,
+                          eps: float = L.SOURCE_EPS):
+    """joint_train (main_source.py:448-478):
+    loss = lambda_vae * (1 - dsc(pred, recon)) + (1 - dsc(pred, onehot))."""
+
+    def step(state: TrainState, image: jax.Array, label: jax.Array,
+             sched: Dict[str, jax.Array]):
+        onehot = L.one_hot_label(label, n_class)
+
+        def loss_fn(p):
+            pred, recon, _, _ = model.apply({"params": p}, image[..., None])
+            recon_loss = 1.0 - L.avg_dsc(pred, recon, botindex=1,
+                                         topindex=n_class, eps=eps)
+            dsc_loss = 1.0 - L.avg_dsc(pred, onehot, botindex=1,
+                                       topindex=n_class, eps=eps)
+            return sched["lambda_vae"] * recon_loss + dsc_loss, \
+                (recon_loss, dsc_loss)
+
+        (_, (recon_loss, dsc_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads)
+        return new_state, {"recon_loss": recon_loss, "dice_loss": dsc_loss}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# --------------------------------------------------------------------------
+# the dh loss schedule
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class AdaptConfig:
+    """Static switches of the adaptation loss (argparse flags)."""
+
+    n_class: int = 2
+    domain_loss_type: int = 0          # --domain_loss_type
+    only_pseudo: bool = False          # --only_pseudo
+    use_confident_binarize: bool = False  # --use_confident_binarize
+    kl: bool = False                   # --kl
+    vae_mont_number: int = 1           # --vae_mont_number
+    turn_enabled: bool = False         # --turn_epoch != -1
+    kl_weight: float = 2e-5
+
+
+def _bucket_lambda(recon_loss, lambda_vae):
+    """dh bucketing (main_target.py:551-554): factor 0.6 / 1.2 / 2.0 / 3.0 at
+    recon-loss thresholds .15 / .225 / .3."""
+    factor = jnp.select(
+        [recon_loss < 0.15, recon_loss < 0.225, recon_loss < 0.3],
+        [0.6, 1.2, 2.0], 3.0)
+    return lambda_vae * factor
+
+
+def adapt_loss(recon_loss, fake_loss, klv, pred_sq_mean, cfg: AdaptConfig,
+               sched: Dict[str, jax.Array], *, variant: str = "train"):
+    """The full domain_loss_type dispatch.
+
+    variant='train'    -> main_target.py:548-592
+    variant='finetune' -> main_target.py:835-884 (ft1 path; differs at loss
+                          types 12, 13, 15)
+    """
+    lam = sched["lambda_vae"]
+    t = cfg.domain_loss_type
+    if cfg.only_pseudo:
+        return fake_loss
+    if (variant == "train" and t in (8, 15, 16)) or \
+       (variant == "finetune" and t == 8):
+        cur = _bucket_lambda(recon_loss, lam)
+        if cfg.kl:
+            hi = recon_loss + klv + fake_loss / cur
+            lo = cur * (recon_loss + klv) + fake_loss
+        else:
+            hi = recon_loss + fake_loss / cur
+            lo = cur * recon_loss + fake_loss
+        return jnp.where(cur > 1.0, hi, lo)
+    if t == 9:
+        cur = _bucket_lambda(recon_loss, lam)
+        return (cur * recon_loss + fake_loss) / (1.0 + cur)
+    if t == 10:
+        # reference intent (main_target.py:854-856): confidence penalty
+        # mean(pred^2) + recon + pseudo. (The train-path copy at :567-569
+        # references val_batch — a latent NameError in the reference; the
+        # ft1-path version is the working one and is what we implement.)
+        return pred_sq_mean + recon_loss + fake_loss
+    if t == 11:
+        return lam * recon_loss + fake_loss + recon_loss * fake_loss
+    if t == 12:
+        if variant == "finetune":  # main_target.py:860-861
+            return lam * recon_loss + fake_loss \
+                + (1.0 - recon_loss) * (1.0 - fake_loss)
+        return lam * recon_loss + fake_loss - recon_loss * fake_loss
+    if t == 13:
+        r = jnp.maximum(recon_loss - 0.15, 0.0)
+        return lam * r
+    if t == 14:
+        r = jnp.maximum(recon_loss - 0.1, 0.0)
+        return lam * r + fake_loss
+    if variant == "finetune" and t == 15:  # main_target.py:870-875
+        r = jnp.maximum(recon_loss - 0.1, 0.0)
+        f = jnp.maximum(fake_loss - 0.1, 0.0)
+        return lam * r + f
+    if cfg.turn_enabled:
+        # (epoch // turn_epoch) % 2: phase 0 -> recon only (main_target.py:583-587)
+        return jnp.where(sched["turn_phase"] == 0,
+                         lam * recon_loss,
+                         lam * recon_loss + fake_loss)
+    # default: warmup ramp then lambda*recon + pseudo (main_target.py:588-592);
+    # with --kl (type 0), + 2e-5 * lambda * KL once past warmup.
+    base = sched["warmup_scale"] * lam * recon_loss + fake_loss
+    if cfg.kl and variant == "train":
+        base = base + jnp.where(sched["warmup_scale"] >= 1.0,
+                                cfg.kl_weight * lam * klv, 0.0)
+    return base
+
+
+# --------------------------------------------------------------------------
+# teacher-student adaptation
+# --------------------------------------------------------------------------
+
+def _teacher_forward(teacher: Joint, teacher_params, img, need_kl: bool):
+    """Teacher inference: Seg only, plus the VAE encode of the teacher's own
+    prediction when the KL term is on — the reference computes mean/std via
+    the teacher Joint forward (main_target.py:532 + joint_model.py:451); its
+    full VAE *decode* output ('_asdfasdf') is never used, so we skip it."""
+    t_pred = teacher.apply({"params": teacher_params}, img,
+                           method=Joint.segment)
+    if need_kl:
+        t_mean, t_std = teacher.apply(
+            {"params": teacher_params}, t_pred,
+            method=lambda m, x: m.Vae.encode(x))
+    else:
+        t_mean = t_std = jnp.zeros((img.shape[0], 1), jnp.float32)
+    return t_pred, t_mean, t_std
+
+
+def _student_mc_losses(model: Joint, params, img, onehot, pseudo, klv,
+                       cfg: AdaptConfig, sched, key, *, variant: str):
+    """MC loop over vae_mont_number student forwards (main_target.py:530-603).
+    The count is static and small (default 1) -> unrolled at trace time."""
+    n = cfg.n_class
+    tot_recon = tot_fake = tot_dsc = tot_final = 0.0
+    for i in range(cfg.vae_mont_number):
+        sub = jax.random.fold_in(key, i)
+        k_rep, k_drop = jax.random.split(sub)
+        pred, recon, _, _ = model.apply(
+            {"params": params}, img, dropout=True,
+            rngs={"reparam": k_rep, "dropout": k_drop})
+        recon_loss = 1.0 - L.avg_dsc(pred, recon, botindex=1, topindex=n)
+        fake_loss = 1.0 - L.avg_dsc(pred, pseudo, botindex=1, topindex=n)
+        dsc_loss = 1.0 - L.avg_dsc(pred, onehot, botindex=1, topindex=n)
+        pred_sq = jnp.mean(jnp.square(pred)) if cfg.domain_loss_type == 10 \
+            else jnp.float32(0.0)
+        final = adapt_loss(recon_loss, fake_loss, klv, pred_sq, cfg, sched,
+                           variant=variant)
+        tot_recon += recon_loss
+        tot_fake += fake_loss
+        tot_dsc += dsc_loss
+        tot_final += final
+    m = cfg.vae_mont_number
+    return (tot_final / m,
+            {"recon_loss": tot_recon / m, "dice_loss_fake": tot_fake / m,
+             "dice_loss": tot_dsc / m})
+
+
+def make_adapt_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig):
+    """Teacher-student adaptation step (main_target.py:505-613).
+
+    Teacher forward is deterministic, so it is hoisted out of both the MC loop
+    and the grad; gradients flow through the (frozen) student VAE into the
+    student Seg via the optimizer mask (train/optim.py)."""
+
+    def step(state: TrainState, teacher_params, image, label, key,
+             sched: Dict[str, jax.Array]):
+        img = image[..., None]
+        onehot = L.one_hot_label(label, cfg.n_class)
+        t_pred, t_mean, t_std = _teacher_forward(teacher, teacher_params, img,
+                                                 cfg.kl)
+        pseudo = L.confident_binarize(t_pred) if cfg.use_confident_binarize \
+            else L.binarize(t_pred)
+        klv = L.kl_loss(t_mean, t_std) if cfg.kl else jnp.float32(0.0)
+
+        def loss_fn(p):
+            return _student_mc_losses(model, p, img, onehot, pseudo, klv,
+                                      cfg, sched, key, variant="train")
+
+        (final, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads)
+        aux = dict(aux, final_loss=final, kl_loss=klv)
+        return new_state, aux
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_cached_pseudo_adapt_step(model: Joint, tx, cfg: AdaptConfig, *,
+                                  eps: float = L.SOURCE_EPS):
+    """The main_source.py domain_adaptation variant (:480-544): pseudo labels
+    are PRE-COMPUTED epoch-0 teacher predictions passed in as an array (the
+    domain_cache/<prefix>/{idx}_pred contract), and the loss schedule is only
+    turn/warmup (no dh types)."""
+
+    def step(state: TrainState, image, label, pseudo, key,
+             sched: Dict[str, jax.Array]):
+        img = image[..., None]
+        onehot = L.one_hot_label(label, cfg.n_class)
+        n = cfg.n_class
+
+        def loss_fn(p):
+            pred, recon, _, _ = model.apply({"params": p}, img)
+            recon_loss = 1.0 - L.avg_dsc(pred, recon, botindex=1, topindex=n,
+                                         eps=eps)
+            fake_loss = 1.0 - L.avg_dsc(pred, pseudo, botindex=1, topindex=n,
+                                        eps=eps)
+            dsc_loss = 1.0 - L.avg_dsc(pred, onehot, botindex=1, topindex=n,
+                                       eps=eps)
+            lam = sched["lambda_vae"]
+            if cfg.turn_enabled:  # main_source.py:527-531
+                final = jnp.where(sched["turn_phase"] == 0,
+                                  2.0 * lam * recon_loss,
+                                  lam * recon_loss + fake_loss)
+            else:  # main_source.py:532-535
+                final = sched["warmup_scale"] * lam * recon_loss + fake_loss
+            return final, (recon_loss, fake_loss, dsc_loss, pred)
+
+        (final, (recon_loss, fake_loss, dsc_loss, pred)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads)
+        return new_state, {"recon_loss": recon_loss,
+                           "dice_loss_fake": fake_loss,
+                           "dice_loss": dsc_loss, "final_loss": final,
+                           "pred": pred}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_finetune_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig):
+    """One test-time-training inner step (ft1, main_target.py:807-900):
+    same adaptation loss in its 'finetune' variant, SGD(momentum=0) — the
+    reference re-creates the optimizer every step (main_target.py:886-887),
+    which with momentum 0 is stateless SGD."""
+
+    def step(state: TrainState, teacher_params, image, label, key,
+             sched: Dict[str, jax.Array]):
+        img = image[..., None]
+        onehot = L.one_hot_label(label, cfg.n_class)
+        t_pred, t_mean, t_std = _teacher_forward(teacher, teacher_params, img,
+                                                 cfg.kl)
+        pseudo = L.confident_binarize(t_pred) if cfg.use_confident_binarize \
+            else L.binarize(t_pred)
+        klv = L.kl_loss(t_mean, t_std) if cfg.kl else jnp.float32(0.0)
+
+        def loss_fn(p):
+            return _student_mc_losses(model, p, img, onehot, pseudo, klv,
+                                      cfg, sched, key, variant="finetune")
+
+        (final, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads)
+        return new_state, dict(aux, final_loss=final)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# --------------------------------------------------------------------------
+# discriminator methods
+# --------------------------------------------------------------------------
+
+def make_discriminator_step(model, tx):
+    """discriminator_train (main_target.py:494-503): MSE between the
+    encoder's sigmoid score of a (one-channel float) mask and a target score."""
+
+    def step(state: TrainState, mask: jax.Array, score: jax.Array):
+        def loss_fn(p):
+            out = model.apply({"params": p}, mask[..., None])
+            return jnp.mean(jnp.square(score - out[:, 0])), out
+
+        (final, out), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads)
+        return new_state, {"final_loss": final, "score_out": out[:, 0]}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_adapt_dis_step(model: Joint2, teacher_seg, tx, cfg: AdaptConfig):
+    """domain_adaptation_dis (main_target.py:693-732): pseudo Dice + a
+    discriminator realism score in place of the VAE reconstruction loss:
+    loss = warmup * lambda * (1 - mean score) + dice_fake."""
+
+    def step(state: TrainState, teacher_params, image, label, key,
+             sched: Dict[str, jax.Array]):
+        img = image[..., None]
+        n = cfg.n_class
+        onehot = L.one_hot_label(label, n)
+        t_pred = teacher_seg.apply({"params": teacher_params}, img)
+        pseudo = L.confident_binarize(t_pred) if cfg.use_confident_binarize \
+            else L.binarize(t_pred)
+
+        def loss_fn(p):
+            k_drop = jax.random.fold_in(key, 0)
+            pred, score = model.apply({"params": p}, img, dropout=True,
+                                      rngs={"dropout": k_drop})
+            fake_loss = 1.0 - L.avg_dsc(pred, pseudo, botindex=1, topindex=n)
+            dsc_loss = 1.0 - L.avg_dsc(pred, onehot, botindex=1, topindex=n)
+            dis_loss = 1.0 - jnp.mean(score)
+            final = sched["warmup_scale"] * sched["lambda_vae"] * dis_loss \
+                + fake_loss
+            return final, (dis_loss, fake_loss, dsc_loss)
+
+        (final, (dis_loss, fake_loss, dsc_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads)
+        return new_state, {"discriminator_loss": dis_loss,
+                           "dice_loss_fake": fake_loss,
+                           "dice_loss": dsc_loss, "final_loss": final}
+
+    return jax.jit(step, donate_argnums=(0,))

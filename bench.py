@@ -1,0 +1,95 @@
+"""Headline benchmark: teacher-student domain-adaptation train-step
+throughput per chip, at the reference's training configuration.
+
+Config matched to the reference flagship recipe (scripts/target/domain_*.bash
+-> main_target.py --method domain_adaptation): Joint student (SegUNet ~2.3M +
+ShapeVAE ~15.4M params), frozen-VAE optimizer mask, teacher Joint forward,
+pseudo-label binarize, dh loss schedule (domain_loss_type 8), SGD, batch 4 at
+128^3 — the reference's global batch across its 4 default GPUs
+(main_source.py:29,117; main_target.py:31), here on ONE chip.
+
+Baseline for `vs_baseline`: the reference publishes no throughput numbers
+(BASELINE.md). We use a measured proxy with recorded provenance: the
+reference-equivalent torch train step, measured on this host via
+tools/measure_torch_baseline.py, scaled by the measured torch-GPU/CPU factor
+documented there. See BENCH.md for methodology.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Estimated reference throughput per GPU at the same global batch (see
+# BENCH.md: derived from the torch-CPU measurement in
+# tools/measure_torch_baseline.py and public V100 3D-UNet scaling factors).
+BASELINE_STEPS_PER_SEC_PER_CHIP = 0.5
+
+SIDE = 128
+BATCH = 4
+WARMUP = 3
+ITERS = 20
+
+
+def build():
+    from vae_segmentation_tpu.models import Joint
+    from vae_segmentation_tpu.train import (
+        AdaptConfig, default_sched, init_state, make_adapt_step, optim)
+
+    model = Joint(n_class=2, dim=128, vae_decoder_dropout=0.5)
+    init_img = jnp.zeros((1, SIDE, SIDE, SIDE, 1), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, init_img)["params"]
+    tx = optim.freeze_vae(optim.sgd(1e-3), params)
+    cfg = AdaptConfig(n_class=2, domain_loss_type=8, vae_mont_number=1)
+    step = make_adapt_step(model, model, tx, cfg)
+
+    teacher = jax.tree.map(jnp.copy, params)
+    state = init_state(params, tx)
+    sched = default_sched(lambda_vae=1.0)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.normal(size=(BATCH, SIDE, SIDE, SIDE)),
+                        dtype=jnp.float32)
+    label = jnp.asarray(rng.random((BATCH, SIDE, SIDE, SIDE)) > 0.9,
+                        dtype=jnp.float32)
+    return step, state, teacher, image, label, sched
+
+
+def main():
+    step, state, teacher, image, label, sched = build()
+    key = jax.random.PRNGKey(1)
+
+    for i in range(WARMUP):
+        state, metrics = step(state, teacher, image, label,
+                              jax.random.fold_in(key, i), sched)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = step(state, teacher, image, label,
+                              jax.random.fold_in(key, WARMUP + i), sched)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+
+    value = ITERS / dt
+    print(json.dumps({
+        "metric": "domain_adaptation_train_step_throughput_b4_128cubed",
+        "value": round(value, 4),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(value / BASELINE_STEPS_PER_SEC_PER_CHIP, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon already in the env, so the env write above can be too
+# late; the config update below wins as long as no backend is live yet.
+jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

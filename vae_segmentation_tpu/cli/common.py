@@ -1,0 +1,231 @@
+"""Shared trainer machinery for the source/target CLIs.
+
+Covers what the two reference mains duplicate between themselves: pipeline
+construction (main_source.py:189-243, main_target.py:200-310), the selective
+checkpoint-load matrix (main_source.py:301-344, main_target.py:355-394),
+score-JSON dumps (main_source.py:812-814), and checkpoint save cadence
+(main_source.py:826-850) — rebuilt around a device mesh + jitted ingest
+instead of worker processes and .cuda() calls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vae_segmentation_tpu import parallel
+from vae_segmentation_tpu.core import checkpoint as ckpt_lib
+from vae_segmentation_tpu.core.config import CommonConfig
+from vae_segmentation_tpu.data import augment
+from vae_segmentation_tpu.data.manifest import filedict_from_json
+from vae_segmentation_tpu.data.pipeline import CaseDataset, Loader
+from vae_segmentation_tpu.data.transforms import parse_pan_index
+from vae_segmentation_tpu.obs.saver import Saver
+
+
+# --------------------------------------------------------------------------
+# data
+# --------------------------------------------------------------------------
+
+def build_train_loader(cfg: CommonConfig, mesh, *, data_root: str,
+                       list_key: str, pan_index: str,
+                       replicate: bool = True, seed_salt: int = 0) -> Loader:
+    """Train loader with the reference's list-replication trick: the file
+    list is repeated eval_epoch x so one loader pass == eval_epoch dataset
+    epochs (main_source.py:123-131,186)."""
+    entries = filedict_from_json(cfg.data_path, list_key,
+                                 cfg.eval_epoch if replicate else 1)
+    ds = CaseDataset(entries, data_root,
+                     mask_index=parse_pan_index(pan_index),
+                     output_size=cfg.patch_size,
+                     shift=getattr(cfg, "shift", 0))
+    sharding = parallel.batch_sharding(mesh) if mesh is not None else None
+    return Loader(ds, cfg.batch_size, shuffle=True, drop_last=True,
+                  num_workers=cfg.num_workers, seed=cfg.seed + seed_salt,
+                  device_sharding=sharding)
+
+
+def build_val_loader(cfg: CommonConfig, *, data_root: str, list_key: str,
+                     pan_index: str) -> Loader:
+    entries = filedict_from_json(cfg.data_path, list_key, 1)
+    ds = CaseDataset(entries, data_root,
+                     mask_index=parse_pan_index(pan_index),
+                     output_size=cfg.patch_size)
+    return Loader(ds, cfg.val_batch, shuffle=False, drop_last=False,
+                  num_workers=cfg.num_workers, seed=cfg.seed)
+
+
+def n_classes(cfg: CommonConfig) -> int:
+    return len(parse_pan_index(cfg.pan_index))
+
+
+def bottleneck_for(patch_size, top_fmaps: int = 256) -> int:
+    """Flattened VAE bottleneck width: fmaps[-1] * prod(patch/32)
+    (16384 at the reference's 128^3, joint_model.py:222)."""
+    n = top_fmaps
+    for p in patch_size:
+        n *= p // 32
+    return n
+
+
+# --------------------------------------------------------------------------
+# device-side ingest
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("patch_size", "no_aug"))
+def _train_ingest(image, label, key, patch_size, no_aug):
+    if not no_aug:
+        image, label = augment.spatial_augment(image, label, key,
+                                               patch_size=patch_size)
+    return augment.intensity_normalize(image), label
+
+
+@jax.jit
+def _val_ingest(image):
+    return augment.intensity_normalize(image)
+
+
+def make_train_ingest(cfg: CommonConfig) -> Callable:
+    """(image, label, key) -> (image_norm, label), jit-compiled: random
+    affine warp (unless --no_aug) + clip/center normalization — the
+    device-side replacement of MySpatialTransform + Clip + CenterIntensities
+    (main_source.py:197-212)."""
+    patch = tuple(cfg.patch_size)
+
+    def ingest(image, label, key):
+        return _train_ingest(image, label, key, patch, cfg.no_aug)
+
+    return ingest
+
+
+def with_image_norm(loader) -> Iterator[Dict]:
+    """Wrap a val loader: adds 'image_norm' (device, normalized)."""
+    for batch in loader:
+        batch = dict(batch)
+        batch["image_norm"] = _val_ingest(jnp.asarray(batch["image"]))
+        yield batch
+
+
+# --------------------------------------------------------------------------
+# checkpoint load matrix
+# --------------------------------------------------------------------------
+
+def _load(cfg: CommonConfig, prefix: str, name: Optional[str] = None) -> Dict:
+    path = ckpt_lib.checkpoint_path(cfg.save_root, prefix,
+                                    name or "best_model.ckpt")
+    print(f"Loading checkpoint {path}")
+    return ckpt_lib.load_checkpoint(path)
+
+
+def load_seg(cfg, params, *, whole_model: bool = False):
+    """--load_prefix: Seg weights (whole model for seg_train,
+    main_source.py:303-308)."""
+    ck = _load(cfg, cfg.load_prefix, cfg.checkpoint_name)
+    return ckpt_lib.load_component(params, ck,
+                                   None if whole_model else "Seg")
+
+
+def load_vae(cfg, params, *, whole_model: bool = False):
+    ck = _load(cfg, cfg.load_prefix_vae)
+    return ckpt_lib.load_component(params, ck,
+                                   None if whole_model else "Vae")
+
+
+def load_encoder(cfg, params, *, whole_model: bool = False):
+    ck = _load(cfg, cfg.load_prefix_encoder)
+    return ckpt_lib.load_component(params, ck,
+                                   None if whole_model else "Dis")
+
+
+def load_joint(cfg, params):
+    ck = _load(cfg, cfg.load_prefix_joint)
+    return ckpt_lib.load_component(params, ck, None)
+
+
+# --------------------------------------------------------------------------
+# epoch-level bookkeeping
+# --------------------------------------------------------------------------
+
+class EpochRunner:
+    """Save/best/score bookkeeping shared by both trainers
+    (main_source.py:806-850; main_target.py:1022-1062)."""
+
+    def __init__(self, cfg: CommonConfig):
+        self.cfg = cfg
+        self.best_result = 0.0
+        os.makedirs(cfg.save_path, exist_ok=True)
+        os.makedirs(cfg.display_path, exist_ok=True)
+        self.saver = Saver(cfg.display_path, display_freq=10)
+
+    def dump_scores(self, epoch: int, scores: Dict[int, float],
+                    name: str = "score") -> None:
+        path = os.path.join(self.cfg.display_path, f"{name}_{epoch}.json")
+        with open(path, "w") as f:
+            json.dump({str(k): v for k, v in scores.items()}, f)
+
+    def end_of_epoch(self, epoch: int, dsc: float, params, opt_state,
+                     *, extra: Optional[Dict] = None) -> bool:
+        """Best-checkpoint + periodic save; returns True if improved."""
+        cfg = self.cfg
+        print("epoch %d validation result: %f, best result %f."
+              % (epoch + 1, dsc, self.best_result))
+        improved = dsc > self.best_result
+        if improved and not cfg.test_only:
+            self.best_result = dsc
+            ckpt_lib.save_checkpoint(
+                os.path.join(cfg.save_path, "best_model.ckpt"),
+                epoch=(epoch + 1) * cfg.eval_epoch, params=params,
+                opt_state=opt_state, extra=extra)
+        if not cfg.test_only and \
+                (epoch + 1) % (cfg.save_epoch // cfg.eval_epoch) == 0:
+            print("saving model")
+            ckpt_lib.save_checkpoint(
+                os.path.join(
+                    cfg.save_path,
+                    f"model_epoch{(epoch + 1) * cfg.eval_epoch}.ckpt"),
+                epoch=(epoch + 1) * cfg.eval_epoch, params=params,
+                opt_state=opt_state, extra=extra)
+        return improved
+
+
+def make_mesh_if_multichip(cfg: CommonConfig):
+    """1-D 'data' mesh over all chips (+ optional 'spatial' axis via
+    --spatial_shards). None on a single device — everything runs unsharded."""
+    n = jax.device_count()
+    if n == 1 and cfg.spatial_shards == 1:
+        return None
+    return parallel.make_mesh(n_spatial=cfg.spatial_shards)
+
+
+def shard_train_batch(mesh, batch):
+    if mesh is None:
+        return jnp.asarray(batch["image"]), jnp.asarray(batch["label"])
+    sh = parallel.batch_sharding(mesh)
+    return (jax.device_put(batch["image"], sh),
+            jax.device_put(batch["label"], sh))
+
+
+def replicate(mesh, tree):
+    return tree if mesh is None else parallel.replicate_params(mesh, tree)
+
+
+def save_eval_npys(result_path: str, epoch: int, val_idx: int,
+                   pred_bin: np.ndarray, image: np.ndarray,
+                   gt_bin: np.ndarray) -> None:
+    """--save_eval_result npy dumps (main_target.py:922-936). Keeps the
+    reference's channel-first layout for drop-in compatibility with its
+    analysis tooling."""
+    os.makedirs(result_path, exist_ok=True)
+    np.save(os.path.join(result_path, f"{epoch}_{val_idx}_pred.join"),
+            np.moveaxis(pred_bin, -1, 1))
+    np.save(os.path.join(result_path, f"{epoch}_{val_idx}_pic"),
+            image[:, None])
+    np.save(os.path.join(result_path, f"{epoch}_{val_idx}_gt"),
+            np.moveaxis(gt_bin, -1, 1))

@@ -1,0 +1,440 @@
+"""Target-domain trainer — the main_target.py equivalent (the flagship
+teacher-student domain-adaptation loop).
+
+Methods (dispatch parity with main_target.py:316-344):
+  vae_train             — shape VAE on target GT masks
+  discriminator_train   — realism-score encoder on masks
+  domain_adaptation     — live-teacher student training: pseudo-label Dice +
+                          VAE recon loss, dh schedule, EMA teacher, optional
+                          source-replay (--pseudo_list), optional per-case
+                          test-time training (--val_finetune, "ft1")
+  domain_adaptation_dis — discriminator score replaces the VAE recon loss
+
+TPU-native structure: each method is ONE jitted train step (train/steps.py)
+fed by a jitted augmentation ingest; the EMA teacher update is a device-side
+tree_map (train/ema.py), not the reference's host state_dict walk
+(main_target.py:512-516).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vae_segmentation_tpu.cli import common
+from vae_segmentation_tpu.core.config import TargetConfig, parse_target_args
+from vae_segmentation_tpu.eval.evaluate import (
+    make_analysis_metrics_step,
+    make_joint_eval_step,
+    make_vae_eval_step,
+)
+from vae_segmentation_tpu.models import Joint, Joint2, SegUNet, ShapeEncoder, ShapeVAE
+from vae_segmentation_tpu.obs import draw
+from vae_segmentation_tpu.ops import losses as L
+from vae_segmentation_tpu.train import (
+    AdaptConfig,
+    copy_params,
+    default_sched,
+    ema_update_seg,
+    init_state,
+    make_adapt_dis_step,
+    make_adapt_step,
+    make_discriminator_step,
+    make_finetune_step,
+    make_seg_train_step,
+    make_vae_train_step,
+    optim,
+)
+
+
+def _adapt_cfg(cfg: TargetConfig, n_class: int) -> AdaptConfig:
+    return AdaptConfig(
+        n_class=n_class,
+        domain_loss_type=cfg.domain_loss_type,
+        only_pseudo=cfg.only_pseudo,
+        use_confident_binarize=cfg.use_confident_binarize,
+        kl=cfg.kl,
+        vae_mont_number=cfg.vae_mont_number,
+        turn_enabled=cfg.turn_epoch != -1,
+    )
+
+
+def _epoch_sched(cfg: TargetConfig, epoch: int, lambda_vae: float):
+    sched = default_sched(lambda_vae)
+    if cfg.lambda_vae_warmup > 0:
+        sched["warmup_scale"] = jnp.float32(
+            1.0 if epoch >= cfg.lambda_vae_warmup
+            else epoch / cfg.lambda_vae_warmup)
+    if cfg.turn_epoch != -1:
+        sched["turn_phase"] = jnp.int32((epoch // cfg.turn_epoch) % 2)
+    return sched
+
+
+def run(cfg: TargetConfig) -> float:
+    np.random.seed(cfg.seed)
+    n_class = common.n_classes(cfg)
+    mesh = common.make_mesh_if_multichip(cfg)
+    runner = common.EpochRunner(cfg)
+    m = cfg.method
+    patch = tuple(cfg.patch_size)
+    lambda_vae = cfg.lambda_vae  # host-mutable (--tag decay)
+
+    print("Loading data.")
+    train_loader = common.build_train_loader(
+        cfg, mesh, data_root=cfg.data_root, list_key=cfg.train_list,
+        pan_index=cfg.pan_index)
+    pseudo_loader = None
+    if cfg.pseudo_list is not None:
+        pseudo_loader = common.build_train_loader(
+            cfg, mesh, data_root=cfg.pseudo_data_root,
+            list_key=cfg.pseudo_list, pan_index=cfg.pseudo_pan_index,
+            seed_salt=101)
+
+    def val_batches():
+        return common.with_image_norm(common.build_val_loader(
+            cfg, data_root=cfg.val_data_root, list_key=cfg.val_list,
+            pan_index=cfg.pan_index))
+
+    print("Building model.")
+    rngs = {"params": jax.random.PRNGKey(cfg.seed)}
+    zero_img = jnp.zeros((1, *patch, 1), jnp.float32)
+    zero_onehot = jnp.zeros((1, *patch, n_class), jnp.float32)
+
+    teacher_params = None
+    bott = common.bottleneck_for(patch)
+    if m == "vae_train":
+        model = ShapeVAE(n_class=n_class, dim=128, soft=cfg.softrelu == 1,
+                         bottleneck=bott)
+        params = model.init(rngs, zero_onehot)["params"]
+    elif m == "discriminator_train":
+        model = ShapeEncoder(dim=1, bottleneck=bott)
+        params = model.init(rngs, zero_img)["params"]
+    elif m == "domain_adaptation":
+        model = Joint(n_class=n_class, dim=128, bottleneck=bott,
+                      vae_forward_scale=cfg.vae_forward_scale,
+                      vae_decoder_dropout=cfg.vae_decoder_dropout,
+                      seg_dropout=cfg.seg_dropout)
+        teacher = Joint(n_class=n_class, dim=128, bottleneck=bott)
+        params = model.init(rngs, zero_img)["params"]
+        teacher_params = jax.tree.map(jnp.copy, params)
+    elif m == "domain_adaptation_dis":
+        model = Joint2(n_class=n_class, seg_dropout=cfg.seg_dropout,
+                       bottleneck=bott)
+        teacher = SegUNet(n_class=n_class)
+        params = model.init(rngs, zero_img)["params"]
+        teacher_params = jax.tree.map(jnp.copy, params["Seg"])
+    else:
+        raise ValueError("Try a valid method.")
+
+    # ---- load matrix (main_target.py:355-394)
+    print("Loading prefix.")
+    if cfg.load_prefix:
+        if cfg.from_scratch:
+            tp = dict(teacher_params)
+            teacher_params = common.load_seg(
+                cfg, tp, whole_model=(m == "domain_adaptation_dis"))
+        else:
+            params = common.load_seg(
+                cfg, params, whole_model=False)
+            if m == "domain_adaptation_dis":
+                teacher_params = jax.tree.map(jnp.copy, params["Seg"])
+    if cfg.load_prefix_vae and m == "domain_adaptation":
+        if cfg.from_scratch:
+            teacher_params = common.load_vae(cfg, teacher_params)
+        params = common.load_vae(cfg, params)
+    if cfg.load_prefix_encoder:
+        if m == "discriminator_train":
+            ck = common._load(cfg, cfg.load_prefix_encoder)
+            from vae_segmentation_tpu.core import checkpoint as ckpt_lib
+            params = ckpt_lib.load_component(params, ck, None)
+        else:
+            params = common.load_encoder(cfg, params)
+    if cfg.load_prefix_joint:
+        params = common.load_joint(cfg, params)
+    if m == "domain_adaptation" and (cfg.test_only or
+                                     (not cfg.from_scratch)):
+        # teacher <- student copy (main_target.py:383-384,427-433);
+        # --only_pseudo swaps the roles (the pretrained weights stay in the
+        # teacher, the student restarts) — same net effect as the reference's
+        # pointer swap at main_target.py:425-431 given identical init order.
+        teacher_params = jax.tree.map(jnp.copy, params)
+
+    # ---- optimizer with frozen subtrees (main_target.py:396-412)
+    base = optim.adam(cfg.lr_seg, weight_decay=cfg.weight_decay) if cfg.adam \
+        else optim.sgd(cfg.lr_seg, weight_decay=cfg.weight_decay)
+    if m == "domain_adaptation":
+        tx = optim.freeze_all_but_seg_head(base, params) if cfg.fix_layer \
+            else optim.freeze_vae(base, params)
+    elif m == "domain_adaptation_dis":
+        tx = optim.freeze_by_path(base, params,
+                                  lambda path: path and path[0] == "Dis")
+    else:
+        tx = base
+
+    params = common.replicate(mesh, params)
+    if teacher_params is not None:
+        teacher_params = common.replicate(mesh, teacher_params)
+    state = init_state(params, tx)
+
+    start_epoch = 0
+    if cfg.resume:
+        from vae_segmentation_tpu.core import checkpoint as ckpt_lib
+        latest = ckpt_lib.latest_checkpoint(cfg.save_root, cfg.prefix)
+        if latest:
+            ck = ckpt_lib.load_checkpoint(latest)
+            state = init_state(
+                ckpt_lib.restore_params(
+                    jax.tree.map(np.asarray, state.params), ck), tx)
+            start_epoch = ck["epoch"] // cfg.eval_epoch
+            print(f"Resumed from {latest} at epoch {ck['epoch']}")
+
+    # ---- compiled steps
+    ingest = common.make_train_ingest(cfg)
+    acfg = _adapt_cfg(cfg, n_class)
+    finetune_step = None
+    eval_step = None
+    analysis_step = None
+    if m == "vae_train":
+        step = make_vae_train_step(model, tx, n_class)
+        eval_step = make_vae_eval_step(model, n_class)
+    elif m == "discriminator_train":
+        step = make_discriminator_step(model, tx)
+    elif m == "domain_adaptation":
+        step = make_adapt_step(model, teacher, tx, acfg)
+        eval_step = make_joint_eval_step(model, n_class)
+        if cfg.val_finetune != 0:
+            tx_ft = optim.freeze_vae(
+                optim.sgd(cfg.lr_finetune, momentum=0.0,
+                          weight_decay=cfg.weight_decay), params)
+            finetune_step = make_finetune_step(model, teacher, tx_ft, acfg)
+        if cfg.analysis_figure_name is not None:
+            analysis_step = make_analysis_metrics_step(model, teacher, n_class)
+        if cfg.pseudo_list is not None:
+            replay_step = make_seg_train_step(model_seg_view(model), tx,
+                                              n_class)
+    elif m == "domain_adaptation_dis":
+        step = make_adapt_dis_step(model, teacher, tx, acfg)
+        eval_step = make_joint2_eval(model, n_class)
+
+    ema_interval = None
+    if m in ("domain_adaptation", "domain_adaptation_dis") and \
+            cfg.pseudo_save_epoch != 0:
+        # EMA cadence (main_target.py:508-509): once per inner dataset pass
+        # (the list is replicated eval_epoch x), or every iteration
+        ema_interval = max(len(train_loader) // cfg.eval_epoch, 1)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    print("Start training")
+    best = 0.0
+    for epoch in range(start_epoch, cfg.outer_epochs):
+        if not cfg.test_only:
+            sched = _epoch_sched(cfg, epoch, lambda_vae)
+            pseudo_iter = iter(pseudo_loader) if pseudo_loader else None
+            for idx, batch in enumerate(train_loader):
+                if epoch == 0 and m in ("domain_adaptation",
+                                        "domain_adaptation_dis"):
+                    continue  # epoch-0 skip (main_target.py:506,616,694)
+                key, k_aug, k_step = jax.random.split(key, 3)
+                image, label = common.shard_train_batch(mesh, batch)
+
+                if m == "vae_train":
+                    _, label_a = ingest(image, label, k_aug)
+                    state, metrics = step(state, label_a, k_step)
+                elif m == "discriminator_train":
+                    _, label_a = ingest(image, label, k_aug)
+                    score_t = jnp.asarray(batch.get(
+                        "score", np.ones((label_a.shape[0],), np.float32)))
+                    state, metrics = step(state, label_a, score_t)
+                else:
+                    # EMA teacher update (main_target.py:508-518)
+                    if ema_interval is not None and \
+                            epoch % max(cfg.pseudo_save_epoch // cfg.eval_epoch, 1) == 0 and \
+                            (cfg.update_every_iteration or idx % ema_interval == 0):
+                        if not cfg.update_every_iteration:
+                            print("Updating Network")
+                        if m == "domain_adaptation":
+                            teacher_params = ema_update_seg(
+                                teacher_params, state.params, cfg.alpha)
+                        else:
+                            teacher_params = ema_update_seg(
+                                {"Seg": teacher_params},
+                                state.params, cfg.alpha)["Seg"]
+                        if cfg.tag:
+                            lambda_vae = cfg.alpha * lambda_vae
+                            sched = _epoch_sched(cfg, epoch, lambda_vae)
+                    image_n, label_a = ingest(image, label, k_aug)
+                    state, metrics = step(state, teacher_params, image_n,
+                                          label_a, k_step, sched)
+                    if m == "domain_adaptation" and pseudo_iter is not None:
+                        try:
+                            rb = next(pseudo_iter)
+                        except StopIteration:
+                            pseudo_iter = iter(pseudo_loader)
+                            rb = next(pseudo_iter)
+                        r_img, r_lab = common.shard_train_batch(mesh, rb)
+                        key, k_raug = jax.random.split(key)
+                        r_img_n, r_lab_a = ingest(r_img, r_lab, k_raug)
+                        state, r_metrics = replay_step(state, r_img_n, r_lab_a)
+                        metrics = dict(metrics,
+                                       dice_loss_pseudo=r_metrics["dice_loss"])
+
+                _print_line(m, epoch, cfg.eval_epoch, idx, metrics)
+                runner.saver.write_display(
+                    idx + epoch * len(train_loader),
+                    [(k, float(v)) for k, v in metrics.items()
+                     if np.ndim(v) == 0])
+
+        # ------------------------------------------------------------------
+        # validation (main_target.py:750-1037)
+        # ------------------------------------------------------------------
+        print("Start evaluation")
+        t_eval = time.time()
+        scores: Dict[int, float] = {}
+        scores_noft: Dict[int, float] = {}
+        fig, fig_gt, fig_pseudo = {}, {}, {}
+        dsc = 0.0
+        n_val = 0
+
+        if m == "vae_train":
+            for batch in val_batches():
+                vidx = int(batch["index"][0])
+                _, score = eval_step(state.params, jnp.asarray(batch["label"]))
+                scores[vidx] = float(score)
+        elif m == "discriminator_train":
+            mse_eval = jax.jit(lambda p, x, s: jnp.mean(jnp.square(
+                s - model.apply({"params": p}, x[..., None])[:, 0])))
+            for batch in val_batches():
+                vidx = int(batch["index"][0])
+                s = jnp.asarray(batch.get(
+                    "score", np.ones((batch["label"].shape[0],), np.float32)))
+                mse = float(mse_eval(state.params, jnp.asarray(batch["label"]), s))
+                scores[vidx] = 1.0 - mse
+        else:
+            sched = _epoch_sched(cfg, epoch, lambda_vae)
+            for batch in val_batches():
+                vidx = int(batch["index"][0])
+                image_n = batch["image_norm"]
+                label = jnp.asarray(batch["label"])
+                eval_params = state.params
+                if finetune_step is not None and (epoch != 0 or cfg.test_only):
+                    # ft1: fresh per-case finetune state from the current
+                    # student (main_target.py:807-900)
+                    ft_state = init_state(
+                        jax.tree.map(jnp.copy, state.params), tx_ft)
+                    for i in range(cfg.val_finetune):
+                        key, k_ft = jax.random.split(key)
+                        ft_state, ft_metrics = finetune_step(
+                            ft_state, teacher_params, image_n, label, k_ft,
+                            sched)
+                        runner.saver.write_display(
+                            i + vidx * cfg.val_finetune,
+                            [("finetune_" + k, float(v))
+                             for k, v in ft_metrics.items()],
+                            force_write=True, verbose=False)
+                    eval_params = ft_state.params
+                    out_noft = eval_step(state.params, image_n, label)
+                    scores_noft[vidx] = float(out_noft["score"])
+                out = eval_step(eval_params, image_n, label)
+                scores[vidx] = float(out["score"])
+                if analysis_step is not None:
+                    am = analysis_step(eval_params, teacher_params, image_n,
+                                       label)
+                    fig[vidx] = [float(am["dsc_loss_fake"]),
+                                 float(am["recon_loss"])]
+                    fig_gt[vidx] = [float(am["gt_dsc_loss_fake"]),
+                                    float(am["gt_recon_loss"])]
+                    fig_pseudo[vidx] = [float(am["pseudo_dsc_loss_fake"]),
+                                        float(am["pseudo_recon_loss"])]
+                if cfg.save_eval_result and epoch % 10 == 0:
+                    common.save_eval_npys(
+                        cfg.result_path, epoch, vidx,
+                        np.asarray(L.binarize(out["pred"])),
+                        np.asarray(image_n),
+                        np.asarray(L.one_hot_label(label, n_class)))
+
+        n_val = len(scores)
+        dsc = sum(scores.values()) / max(n_val, 1)
+        if cfg.analysis_figure_name is not None and fig:
+            draw.scatter_plot(fig, cfg.analysis_figure_name,
+                              "Pseudo_loss", "Recon_loss")
+            draw.scatter_plot(fig_gt, cfg.analysis_figure_name + "_gt",
+                              "Pseudo_loss", "Recon_loss")
+            draw.scatter_plot(fig_pseudo, cfg.analysis_figure_name + "_pseudo",
+                              "Pseudo_loss", "Recon_loss")
+            draw.scatter_plot_multi(fig, fig_gt, "analysis")
+
+        runner.dump_scores(epoch, scores)
+        if scores_noft:
+            runner.dump_scores(epoch, scores_noft, name="score_noft")
+            runner.saver.write_display(
+                (epoch + 1) * len(train_loader),
+                [("val_result", dsc),
+                 ("val_result_no_finetune",
+                  sum(scores_noft.values()) / max(len(scores_noft), 1))],
+                force_write=True)
+        else:
+            runner.saver.write_display(
+                (epoch + 1) * len(train_loader), [("val_result", dsc)],
+                force_write=True)
+        print("Time: {}".format(time.time() - t_eval))
+        runner.end_of_epoch(epoch, dsc, state.params, state.opt_state)
+        best = runner.best_result
+        if cfg.test_only:
+            break
+    runner.saver.close()
+    return best
+
+
+# --------------------------------------------------------------------------
+
+def model_seg_view(joint: Joint):
+    """A callable module view exposing only the Seg forward of a Joint —
+    the source-replay step trains the student Seg with plain GT dice
+    (main_target.py:668-691)."""
+
+    class _SegView:
+        def apply(self, variables, image, **kw):
+            return joint.apply(variables, image, method=Joint.segment)
+
+    return _SegView()
+
+
+def make_joint2_eval(model: Joint2, n_class: int):
+    @jax.jit
+    def step(params, image, label):
+        onehot = L.one_hot_label(label, n_class)
+        pred, _ = model.apply({"params": params}, image[..., None])
+        score = L.avg_dsc(pred, onehot, binary=True, botindex=1,
+                          topindex=n_class)
+        return {"pred": pred, "score": score}
+
+    return step
+
+
+_PRINT_KEYS = {
+    "vae_train": ("dice_loss", "kl_loss"),
+    "discriminator_train": ("final_loss",),
+    "domain_adaptation": ("recon_loss", "dice_loss_fake", "dice_loss"),
+    "domain_adaptation_dis": ("discriminator_loss", "dice_loss_fake",
+                              "dice_loss"),
+}
+
+
+def _print_line(method, epoch, eval_epoch, idx, metrics):
+    keys = _PRINT_KEYS.get(method, ())
+    vals = ", ".join("%.4f" % float(metrics[k]) for k in keys if k in metrics)
+    print("[%3d, %3d] loss: %s" % ((epoch + 1) * eval_epoch, idx + 1, vals))
+
+
+def main(argv=None):
+    run(parse_target_args(argv))
+
+
+if __name__ == "__main__":
+    main()

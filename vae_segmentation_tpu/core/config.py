@@ -62,7 +62,8 @@ class CommonConfig:
     profile_dir: Optional[str] = None
     save_root: str = "3dmodel"
 
-    # fixed reference constants
+    # reference constant, overridable for small-scale tests (must be a
+    # multiple of 32: the VAE trunk has 5 stride-2 stages)
     patch_size: tuple = (128, 128, 128)
     weight_decay: float = 0.0
     val_batch: int = 1
@@ -70,6 +71,8 @@ class CommonConfig:
     def finalize(self) -> "CommonConfig":
         assert self.save_epoch % self.eval_epoch == 0
         assert self.turn_epoch % self.eval_epoch == 0 or self.turn_epoch == -1
+        self.patch_size = tuple(self.patch_size)
+        assert all(p % 32 == 0 for p in self.patch_size), self.patch_size
         # the 'lists/' join quirk (main_source.py:78)
         if not os.path.isabs(self.data_path) and \
                 not self.data_path.startswith("lists" + os.sep):
@@ -184,6 +187,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--spatial_shards", type=int, default=1)
     p.add_argument("--profile_dir", default=None)
+    p.add_argument("--patch_size", type=int, nargs=3,
+                   default=(128, 128, 128),
+                   help="volume crop size (framework extension; "
+                        "multiples of 32)")
+    p.add_argument("--save_root", default="3dmodel")
 
 
 def _ns_to_cfg(ns: argparse.Namespace, cls):

@@ -65,6 +65,24 @@ def make_joint_eval_step(model, n_class: int, *, with_gt_recon: bool = False):
     return step
 
 
+def make_embed_eval_step(model, n_class: int):
+    """Embed/refine_vae eval forward: Fusion pred in test_mode
+    (main_source.py:742-743), binary dice vs GT. The gt_recon branch samples
+    the latent; eval uses a fixed key for determinism."""
+
+    @jax.jit
+    def step(params, image, label):
+        onehot = L.one_hot_label(label, n_class)
+        out = model.apply({"params": params}, image[..., None], onehot,
+                          test_mode=True,
+                          rngs={"reparam": jax.random.PRNGKey(0)})
+        score = L.avg_dsc(out["pred"], onehot, binary=True, botindex=1,
+                          topindex=n_class)
+        return {"pred": out["pred"], "score": score}
+
+    return step
+
+
 def make_analysis_metrics_step(model, teacher, n_class: int):
     """The --analysis_figure_name metric set (main_target.py:956-976):
     pseudo-loss / recon-loss pairs for the student pred, the GT, and the

@@ -85,12 +85,14 @@ class Joint2(nn.Module):
     fmaps: Sequence[int] = DEFAULT_FMAPS
     seg_dropout: float = 0.0
     dtype: Any = jnp.bfloat16
+    bottleneck: int = 16384
 
     def setup(self):
         self.Seg = SegUNet(n_class=self.n_class, norm_type=self.norm_type,
                            fmaps=self.fmaps, dtype=self.dtype)
         self.Dis = ShapeEncoder(dim=1, norm_type=self.norm_type,
-                                fmaps=self.fmaps, dtype=self.dtype)
+                                fmaps=self.fmaps, dtype=self.dtype,
+                                bottleneck=self.bottleneck)
 
     def __call__(self, image: jax.Array, dropout: bool = False):
         pred = self.Seg(image, dropout=self.seg_dropout if dropout else 0.0)

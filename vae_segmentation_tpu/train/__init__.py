@@ -10,8 +10,11 @@ from vae_segmentation_tpu.train.steps import (  # noqa: F401
     make_adapt_step,
     make_cached_pseudo_adapt_step,
     make_discriminator_step,
+    make_embed_train_step,
     make_finetune_step,
     make_joint_train_step,
+    make_refine_vae_step,
+    make_sep_joint_train_step,
     make_seg_train_step,
     make_vae_train_step,
 )

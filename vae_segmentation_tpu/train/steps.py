@@ -379,6 +379,111 @@ def make_finetune_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig):
 
 
 # --------------------------------------------------------------------------
+# latent-embedding methods (Embed: Encoder + VAE + Fusion)
+# --------------------------------------------------------------------------
+
+def make_embed_train_step(model, tx, n_class: int):
+    """embed_train (main_source.py:546-589):
+    final = (dsc(pred,gt) + dsc(init_seg,gt) + dsc(seg_recon,gt))/3
+            + mse(latent, latent_gt)/10 + 2e-5*KL(latent_gt, latent_std)
+            + dsc(gt_recon, gt)   [all as 1-dice losses]
+
+    The reference toggles Encoder.requires_grad by epoch parity
+    (main_source.py:551-555: frozen on even epochs). Here `enc_on` is a
+    traced 0/1 scalar multiplying the Encoder gradient subtree — same update
+    when on, zero update when off (momentum decay of stale velocity is the
+    only deviation from torch's skip-entirely behavior; documented)."""
+
+    def step(state: TrainState, image, label, key, enc_on: jax.Array):
+        img = image[..., None]
+        onehot = L.one_hot_label(label, n_class)
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, img, onehot, test_mode=True,
+                              rngs={"reparam": key})
+            kw = dict(botindex=1, topindex=n_class)
+            d1 = 1.0 - L.avg_dsc(out["pred"], onehot, **kw)
+            d2 = 1.0 - L.avg_dsc(out["init_seg"], onehot, **kw)
+            inpaint = 1.0 - L.avg_dsc(out["seg_recon"], onehot, **kw)
+            recon = 1.0 - L.avg_dsc(out["gt_recon"], onehot, **kw)
+            klv = L.kl_loss(out["latent_code_gt"], out["latent_code_std"])
+            mse = jnp.mean(jnp.square(out["latent_code"]
+                                      - out["latent_code_gt"]))
+            final = (d1 + d2 + inpaint) / 3.0 + mse / 10.0 \
+                + 2e-5 * klv + recon
+            return final, {"dice_loss1": d1, "dice_loss2": d2,
+                           "mse_loss": mse, "inpaint_loss": inpaint,
+                           "recon_loss": recon, "kl_loss": klv}
+
+        (final, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = dict(grads)
+        grads["Encoder"] = jax.tree.map(lambda g: g * enc_on,
+                                        grads["Encoder"])
+        new_state = _apply_updates(state, tx, grads)
+        return new_state, dict(aux, final_loss=final)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_refine_vae_step(model, tx, n_class: int):
+    """refine_vae (main_source.py:592-635): Encoder frozen (optimizer mask),
+    VAE encoder stages frozen too (freeze_vae_encoder mask);
+    final = inpaint + 2e-5*KL + recon."""
+
+    def step(state: TrainState, image, label, key):
+        img = image[..., None]
+        onehot = L.one_hot_label(label, n_class)
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, img, onehot, test_mode=True,
+                              rngs={"reparam": key})
+            kw = dict(botindex=1, topindex=n_class)
+            recon = 1.0 - L.avg_dsc(out["gt_recon"], onehot, **kw)
+            inpaint = 1.0 - L.avg_dsc(out["seg_recon"], onehot, **kw)
+            init_loss = 1.0 - L.avg_dsc(out["init_seg"], onehot, **kw)
+            klv = L.kl_loss(out["latent_code_gt"], out["latent_code_std"])
+            final = inpaint + 2e-5 * klv + recon
+            return final, {"recon_loss": recon, "inpaint_loss": inpaint,
+                           "init_loss": init_loss, "kl_loss": klv}
+
+        (final, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads)
+        return new_state, dict(aux, final_loss=final)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_sep_joint_train_step(model: Joint, teacher: Joint, tx, n_class: int):
+    """sep_joint_train (main_source.py:631-658): student + frozen teacher
+    Joint forwards; per-sample losses:
+    final = 0.1*(1 - mean(recon)) + 1 - mean(dsc(pred, pred_tea) * recon_tea^2)."""
+
+    def step(state: TrainState, teacher_params, image, label):
+        img = image[..., None]
+        kw = dict(botindex=1, topindex=n_class, return_mean=False)
+        t_pred, t_recon, _, _ = teacher.apply({"params": teacher_params}, img)
+        recon_tea = L.avg_dsc(t_pred, t_recon, **kw)  # [B]
+
+        def loss_fn(p):
+            pred, recon, _, _ = model.apply({"params": p}, img)
+            recon_dsc = L.avg_dsc(pred, recon, **kw)
+            dsc = L.avg_dsc(pred, t_pred, **kw)
+            final = 0.1 * (1.0 - jnp.mean(recon_dsc)) \
+                + 1.0 - jnp.mean(dsc * jnp.square(recon_tea))
+            return final, {"recon_loss": 1.0 - jnp.mean(recon_dsc),
+                           "dice_loss": 1.0 - jnp.mean(dsc)}
+
+        (final, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads)
+        return new_state, dict(aux, final_loss=final)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# --------------------------------------------------------------------------
 # discriminator methods
 # --------------------------------------------------------------------------
 

@@ -23,6 +23,7 @@ TPU-first decisions (not a translation):
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Sequence
 
 import jax
@@ -30,6 +31,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+
+def use_pallas_norm() -> bool:
+    """Fused Pallas InstanceNorm+ReLU (ops/pallas/instance_norm.py) is used
+    on TPU unless VAESEG_PALLAS=0; off-TPU it would run in the (slow)
+    interpreter, so it is opt-in there via VAESEG_PALLAS=1."""
+    env = os.environ.get("VAESEG_PALLAS")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
 
 # Feature maps used by every model in the zoo (joint_model.py:207,276,352,395).
 DEFAULT_FMAPS = (8, 16, 32, 64, 128, 256)
@@ -114,6 +125,17 @@ def _act(soft: bool):
     return jax.nn.softplus if soft else jax.nn.relu
 
 
+def _norm_act(x: jax.Array, norm_type: int, soft: bool) -> jax.Array:
+    """norm + activation, routed through the fused Pallas kernel when the
+    pair is the InstanceNorm+ReLU hot path."""
+    if norm_type == 1 and not soft and use_pallas_norm():
+        from vae_segmentation_tpu.ops.pallas import instance_norm_act
+
+        return instance_norm_act(x, True)
+    x = Norm(norm_type)(x)
+    return _act(soft)(x)
+
+
 def mc_dropout(module: nn.Module, x: jax.Array, rate: float) -> jax.Array:
     """Functional MC dropout, always active when rate > 0 — the semantics of
     torch F.dropout(p, training=True) as used for decoder/seg MC sampling
@@ -162,8 +184,7 @@ class ConvNormAct(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = Conv3(self.features, dtype=self.dtype)(x)
-        x = Norm(self.norm_type)(x)
-        return _act(self.soft)(x)
+        return _norm_act(x, self.norm_type, self.soft)
 
 
 class DoubleConv(nn.Module):
@@ -179,8 +200,7 @@ class DoubleConv(nn.Module):
     def __call__(self, x):
         for _ in range(3):
             x = Conv3(self.features, dtype=self.dtype)(x)
-            x = Norm(self.norm_type)(x)
-            x = _act(self.soft)(x)
+            x = _norm_act(x, self.norm_type, self.soft)
         return x
 
 

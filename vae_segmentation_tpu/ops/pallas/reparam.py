@@ -1,0 +1,130 @@
+"""Fused VAE reparameterization + KL Pallas kernel.
+
+Fuses the reference's reparam draw (joint_model.py:246-250: latent =
+mean + eps * std * scale) with the KL reduction (utils/evaluation.py:42-45:
+0.5 * sum(std^2 + mean^2 - 2*log(std + 1e-5)) per sample) into one VMEM pass
+over the [B, dim] latent statistics. On TPU the normal sample is drawn
+on-core with the TPU PRNG (Box-Muller over pltpu.prng_random_bits); off-TPU
+(interpret mode, used by the CPU test suite — prng_seed has no CPU lowering)
+the sample is fed in from the host JAX PRNG and only the fused latent+KL
+math runs in the kernel.
+
+Tensors here are tiny ([B, 128]); the value is completeness of the fused-op
+surface (BASELINE.json north star names this kernel) and keeping the whole
+reparam+KL subgraph out of XLA's way in the fused train step. Custom VJP
+gives the analytic gradients; the sampled eps is a residual.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KL_EPS = 1e-5
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _tpu_kernel(seed_ref, mean_ref, std_ref, scale_ref, latent_ref, kl_ref,
+                eps_ref):
+    pltpu.prng_seed(seed_ref[0])
+    mean = mean_ref[...]
+    std = std_ref[...]
+    # uint32 bits -> standard normal via Box-Muller (fp32)
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(mean.shape), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(mean.shape), jnp.uint32)
+    u1 = (bits1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    u2 = (bits2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    u1 = jnp.maximum(u1, 1e-7)
+    eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+    eps_ref[...] = eps
+    latent_ref[...] = mean + eps * std * scale_ref[0]
+    kl_ref[0, 0] = 0.5 * jnp.sum(
+        std * std + mean * mean - 2.0 * jnp.log(std + KL_EPS))
+
+
+def _host_eps_kernel(mean_ref, std_ref, scale_ref, eps_ref, latent_ref,
+                     kl_ref):
+    mean = mean_ref[...]
+    std = std_ref[...]
+    latent_ref[...] = mean + eps_ref[...] * std * scale_ref[0]
+    kl_ref[0, 0] = 0.5 * jnp.sum(
+        std * std + mean * mean - 2.0 * jnp.log(std + KL_EPS))
+
+
+def reparam_kl(mean: jax.Array, std: jax.Array, scale: jax.Array,
+               seed: jax.Array):
+    """(latent [B,D], kl scalar) = fused reparameterize + KL.
+
+    mean/std: [B, D]; scale: scalar; seed: int32 scalar. kl is the batch
+    MEAN of per-sample KL (reference KLloss semantics, utils/evaluation.py
+    :42-45)."""
+    return _reparam_kl(mean, std, scale, seed)
+
+
+@jax.custom_vjp
+def _reparam_kl(mean, std, scale, seed):
+    out, _ = _reparam_fwd(mean, std, scale, seed)
+    return out
+
+
+def _run(mean, std, scale, seed):
+    b, d = mean.shape
+    mean32 = mean.astype(jnp.float32)
+    std32 = std.astype(jnp.float32)
+    scale_arr = jnp.asarray(scale, jnp.float32).reshape(1)
+    out_shape = (
+        jax.ShapeDtypeStruct((b, d), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if _on_tpu():
+        latent, kl_sum, eps = pl.pallas_call(
+            _tpu_kernel,
+            in_specs=[smem, vmem, vmem, smem],
+            out_specs=(vmem, smem, vmem),
+            out_shape=out_shape + (jax.ShapeDtypeStruct((b, d), jnp.float32),),
+        )(jnp.asarray(seed, jnp.int32).reshape(1), mean32, std32, scale_arr)
+    else:
+        eps = jax.random.normal(
+            jax.random.PRNGKey(jnp.asarray(seed, jnp.int32)), (b, d),
+            jnp.float32)
+        latent, kl_sum = pl.pallas_call(
+            _host_eps_kernel,
+            in_specs=[vmem, vmem, smem, vmem],
+            out_specs=(vmem, smem),
+            out_shape=out_shape,
+            interpret=True,
+        )(mean32, std32, scale_arr, eps)
+    return latent, kl_sum[0, 0] / b, eps
+
+
+def _reparam_fwd(mean, std, scale, seed):
+    latent, kl, eps = _run(mean, std, scale, seed)
+    return (latent, kl), (mean, std, scale, eps, jnp.shape(seed))
+
+
+def _reparam_bwd(residuals, g):
+    mean, std, scale, eps, seed_shape = residuals
+    g_latent, g_kl = g
+    b = mean.shape[0]
+    mean32 = mean.astype(jnp.float32)
+    std32 = std.astype(jnp.float32)
+    scale32 = jnp.asarray(scale, jnp.float32)
+    gk = g_kl / b
+    d_mean = g_latent + gk * mean32
+    d_std = g_latent * eps * scale32 + gk * (std32 - 1.0 / (std32 + KL_EPS))
+    d_scale = jnp.sum(g_latent * eps * std32).astype(jnp.float32)
+    d_seed = jnp.zeros(seed_shape, dtype=jax.dtypes.float0)
+    return (d_mean.astype(mean.dtype), d_std.astype(std.dtype),
+            d_scale.reshape(jnp.shape(scale)), d_seed)
+
+
+_reparam_kl.defvjp(_reparam_fwd, _reparam_bwd)

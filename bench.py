@@ -21,12 +21,20 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compile cache: the remote-compile path costs ~10 min for the
+# full train step at 128^3; cache it across bench runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 # Estimated reference throughput per GPU at the same global batch (see
 # BENCH.md: derived from the torch-CPU measurement in
@@ -35,8 +43,8 @@ BASELINE_STEPS_PER_SEC_PER_CHIP = 0.5
 
 SIDE = 128
 BATCH = 4
-WARMUP = 3
-ITERS = 20
+WARMUP = 2
+ITERS = 10
 
 
 def build():
@@ -67,20 +75,19 @@ def main():
     step, state, teacher, image, label, sched = build()
     key = jax.random.PRNGKey(1)
 
+    # NOTE: through the axon tunnel block_until_ready does not reliably
+    # block; a host transfer of a metric scalar is the sync point.
     for i in range(WARMUP):
         state, metrics = step(state, teacher, image, label,
                               jax.random.fold_in(key, i), sched)
-    jax.block_until_ready(state.params)
+        float(metrics["dice_loss"])
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, metrics = step(state, teacher, image, label,
                               jax.random.fold_in(key, WARMUP + i), sched)
-    jax.block_until_ready(state.params)
+        assert np.isfinite(float(metrics["dice_loss"]))
     dt = time.perf_counter() - t0
-
-    for k, v in metrics.items():
-        assert np.isfinite(float(v)), (k, v)
 
     value = ITERS / dt
     print(json.dumps({

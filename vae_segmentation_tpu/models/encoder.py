@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vae_segmentation_tpu.models.blocks import (
+    remat_stage,
     DEFAULT_FMAPS,
     ConvNormAct,
     Down,
@@ -42,15 +43,19 @@ class ShapeEncoder(nn.Module):
     dtype: Any = jnp.bfloat16
     bottleneck: int = 16384
 
+    remat: bool = True
+
     def setup(self):
         f = self.fmaps
+        CNA = remat_stage(ConvNormAct, self.remat)
+        RDown = remat_stage(Down, self.remat)
         kw = dict(norm_type=self.norm_type, dtype=self.dtype)
-        self.in_block = ConvNormAct(f[0], **kw)
-        self.down1 = Down(f[1], **kw)
-        self.down2 = Down(f[2], **kw)
-        self.down3 = Down(f[3], **kw)
-        self.down4 = Down(f[4], **kw)
-        self.down5 = Down(f[5], **kw)
+        self.in_block = CNA(f[0], **kw)
+        self.down1 = RDown(f[1], **kw)
+        self.down2 = RDown(f[2], **kw)
+        self.down3 = RDown(f[3], **kw)
+        self.down4 = RDown(f[4], **kw)
+        self.down5 = RDown(f[5], **kw)
         self.fc1 = _dense(1024, self.bottleneck, self.dtype)
         self.fc2 = _dense(128, 1024, self.dtype)
         self.fc_mean = _dense(self.dim, 128, self.dtype)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vae_segmentation_tpu.models.blocks import (
+    remat_stage,
     DEFAULT_FMAPS,
     ConvNormAct,
     Down,
@@ -31,21 +32,26 @@ class FusionNet(nn.Module):
     fmaps: Sequence[int] = DEFAULT_FMAPS
     dtype: Any = jnp.bfloat16
 
+    remat: bool = True
+
     def setup(self):
         f = self.fmaps
+        CNA = remat_stage(ConvNormAct, self.remat)
+        RDown = remat_stage(Down, self.remat)
+        RUp = remat_stage(Up, self.remat)
         kw = dict(norm_type=self.norm_type, dtype=self.dtype)
-        self.in_block = ConvNormAct(f[0], **kw)
-        self.down1 = Down(f[1], **kw)
-        self.in_block_mask = ConvNormAct(f[0], **kw)
-        self.down1_mask = Down(f[1], **kw)
-        self.merge = ConvNormAct(f[1], **kw)
-        self.down2 = Down(f[2], **kw)
-        self.down3 = Down(f[3], **kw)
-        self.down4 = Down(f[4], **kw)
-        self.up2 = Up(f[3], **kw)
-        self.up3 = Up(f[2], **kw)
-        self.up4 = Up(f[1], **kw)
-        self.up5 = Up(f[0], **kw)
+        self.in_block = CNA(f[0], **kw)
+        self.down1 = RDown(f[1], **kw)
+        self.in_block_mask = CNA(f[0], **kw)
+        self.down1_mask = RDown(f[1], **kw)
+        self.merge = CNA(f[1], **kw)
+        self.down2 = RDown(f[2], **kw)
+        self.down3 = RDown(f[3], **kw)
+        self.down4 = RDown(f[4], **kw)
+        self.up2 = RUp(f[3], **kw)
+        self.up3 = RUp(f[2], **kw)
+        self.up4 = RUp(f[1], **kw)
+        self.up5 = RUp(f[0], **kw)
         self.out_block = OutConv(self.n_class, dtype=self.dtype)
 
     def __call__(self, image: jax.Array, mask: jax.Array) -> jax.Array:

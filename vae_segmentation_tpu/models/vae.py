@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vae_segmentation_tpu.models.blocks import (
+    remat_stage,
     DEFAULT_FMAPS,
     ConvNormAct,
     Down,
@@ -59,23 +60,28 @@ class ShapeVAE(nn.Module):
     dtype: Any = jnp.bfloat16
     bottleneck: int = 16384  # fmaps[5] * 4^3 at the 128^3 patch size
 
+    remat: bool = True
+
     def setup(self):
         f = self.fmaps
+        CNA = remat_stage(ConvNormAct, self.remat)
+        RDown = remat_stage(Down, self.remat)
+        RUp = remat_stage(Up, self.remat)
         kw = dict(norm_type=self.norm_type, soft=self.soft, dtype=self.dtype)
-        self.in_block = ConvNormAct(f[0], **kw)
-        self.down1 = Down(f[1], **kw)
-        self.down2 = Down(f[2], **kw)
-        self.down3 = Down(f[3], **kw)
-        self.down4 = Down(f[4], **kw)
-        self.down5 = Down(f[5], **kw)
+        self.in_block = CNA(f[0], **kw)
+        self.down1 = RDown(f[1], **kw)
+        self.down2 = RDown(f[2], **kw)
+        self.down3 = RDown(f[3], **kw)
+        self.down4 = RDown(f[4], **kw)
+        self.down5 = RDown(f[5], **kw)
         self.fc_mean = _dense(self.dim, self.bottleneck, self.dtype)
         self.fc_std = _dense(self.dim, self.bottleneck, self.dtype)
         self.fc2 = _dense(self.bottleneck, self.dim, self.dtype)
-        self.up1 = Up(f[4], **kw)
-        self.up2 = Up(f[3], **kw)
-        self.up3 = Up(f[2], **kw)
-        self.up4 = Up(f[1], **kw)
-        self.up5 = Up(f[0], **kw)
+        self.up1 = RUp(f[4], **kw)
+        self.up2 = RUp(f[3], **kw)
+        self.up3 = RUp(f[2], **kw)
+        self.up4 = RUp(f[1], **kw)
+        self.up5 = RUp(f[0], **kw)
         self.out_block = OutConv(self.n_class, dtype=self.dtype)
 
     def encode(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:

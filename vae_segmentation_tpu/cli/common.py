@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import os
 from functools import partial
-from typing import Callable, Dict, Iterator, Optional
+from typing import Callable, Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -214,6 +214,71 @@ def shard_train_batch(mesh, batch):
 
 def replicate(mesh, tree):
     return tree if mesh is None else parallel.replicate_params(mesh, tree)
+
+
+class FullVolumeDataset:
+    """Uncropped cases for sliding-window eval: full image + remapped label
+    at native (resampled) resolution."""
+
+    def __init__(self, entries, root_dir, mask_index=None):
+        from vae_segmentation_tpu.data.transforms import load_merge_case
+        self._load = load_merge_case
+        self.entries = list(entries)
+        self.root_dir = root_dir
+        self.mask_index = mask_index
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, idx):
+        case = self._load(self.root_dir, self.entries[idx], self.mask_index)
+        return {"image": case["image"], "label": case["label"],
+                "id": case["id"], "index": idx}
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def run_sliding_window_eval(cfg, seg_apply, params, *, n_class: int,
+                            data_root: str, list_key: str, pan_index: str
+                            ) -> Tuple[float, Dict[int, float]]:
+    """Full-volume sliding-window eval (framework extension; the on-device
+    generalization of the legacy predict_vol, utils/utils.py:742-803).
+
+    Volumes are padded up to multiples of 64 per axis so XLA compiles a
+    bounded set of stitching programs instead of one per case shape.
+    """
+    from vae_segmentation_tpu.data.manifest import filedict_from_json
+    from vae_segmentation_tpu.data.transforms import parse_pan_index
+    from vae_segmentation_tpu.eval.sliding_window import sliding_window_predict
+    from vae_segmentation_tpu.ops import losses as L
+
+    entries = filedict_from_json(cfg.data_path, list_key, 1)
+    ds = FullVolumeDataset(entries, data_root, parse_pan_index(pan_index))
+    patch = tuple(cfg.patch_size)
+    scores: Dict[int, float] = {}
+    for idx in range(len(ds)):
+        case = ds[idx]
+        img = case["image"].astype(np.float32)
+        lab = case["label"]
+        shape = img.shape
+        padded = [_round_up(max(s, p), 64) for s, p in zip(shape, patch)]
+        img = np.pad(img, [(0, t - s) for s, t in zip(shape, padded)],
+                     constant_values=-1024.0)
+        img_n = _val_ingest(jnp.asarray(img))
+        probs = sliding_window_predict(
+            seg_apply, params, img_n, patch=patch, overlap=cfg.sw_overlap,
+            batch=min(cfg.batch_size, 4), n_class=n_class)
+        probs = probs[: shape[0], : shape[1], : shape[2]]
+        pred = jnp.argmax(probs, axis=-1).astype(jnp.float32)
+        onehot_pred = jax.nn.one_hot(pred, n_class)[None]
+        onehot_gt = jax.nn.one_hot(jnp.asarray(lab, jnp.int32), n_class)[None]
+        score = L.avg_dsc(onehot_pred, onehot_gt, botindex=1,
+                          topindex=n_class)
+        scores[idx] = float(score)
+    mean = sum(scores.values()) / max(len(scores), 1)
+    return mean, scores
 
 
 def save_eval_npys(result_path: str, epoch: int, val_idx: int,

@@ -248,16 +248,22 @@ def run(cfg: SourceConfig) -> float:
         # ---- validation (main_source.py:685-824)
         print("Start evaluation")
         scores: Dict[int, float] = {}
-        for batch in val_loader_fn():
-            vidx = int(batch["index"][0])
-            label = jnp.asarray(batch["label"])
-            if m == "vae_train":
-                _, score = eval_step(state.params, label)
-            else:
-                out = eval_step(state.params, batch["image_norm"], label)
-                score = out["score"] if isinstance(out, dict) else out[1]
-            scores[vidx] = float(score)
-        dsc = sum(scores.values()) / max(len(scores), 1)
+        if cfg.eval_mode == "sliding_window" and m != "vae_train":
+            dsc, scores = common.run_sliding_window_eval(
+                cfg, _seg_apply_fn(cfg, m, model), state.params,
+                n_class=n_class, data_root=cfg.val_data_root,
+                list_key=cfg.val_list, pan_index=cfg.pan_index)
+        else:
+            for batch in val_loader_fn():
+                vidx = int(batch["index"][0])
+                label = jnp.asarray(batch["label"])
+                if m == "vae_train":
+                    _, score = eval_step(state.params, label)
+                else:
+                    out = eval_step(state.params, batch["image_norm"], label)
+                    score = out["score"] if isinstance(out, dict) else out[1]
+                scores[vidx] = float(score)
+            dsc = sum(scores.values()) / max(len(scores), 1)
         runner.dump_scores(epoch, scores)
         runner.saver.write_display(
             (epoch + 1) * len(train_loader), [("val_result", dsc)],
@@ -276,6 +282,20 @@ def run(cfg: SourceConfig) -> float:
 def dataclass_replace(cfg, **kw):
     import dataclasses
     return dataclasses.replace(cfg, **kw)
+
+
+def _seg_apply_fn(cfg, method, model):
+    """(params, images[B,*patch,1]) -> probs — the patch-level inference fn
+    handed to the sliding-window evaluator."""
+    if method == "seg_train":
+        return lambda p, x: model.apply({"params": p}, x)
+    if method in ("joint_train", "domain_adaptation", "sep_joint_train"):
+        return lambda p, x: model.apply({"params": p}, x,
+                                        method=Joint.segment)
+    if method in ("embed_train", "refine_vae"):
+        return lambda p, x: model.apply({"params": p}, x,
+                                        method=Embed.segment)
+    raise ValueError(method)
 
 
 def _adapt_cfg(cfg: SourceConfig, n_class: int):

@@ -36,6 +36,7 @@ from vae_segmentation_tpu.eval.evaluate import (
 )
 from vae_segmentation_tpu.models import Joint, Joint2, SegUNet, ShapeEncoder, ShapeVAE
 from vae_segmentation_tpu.obs import draw
+from vae_segmentation_tpu.obs.timing import StepTimer, profile_trace
 from vae_segmentation_tpu.ops import losses as L
 from vae_segmentation_tpu.train import (
     AdaptConfig,
@@ -232,6 +233,11 @@ def run(cfg: TargetConfig) -> float:
     key = jax.random.PRNGKey(cfg.seed)
     print("Start training")
     best = 0.0
+    timer = StepTimer()
+    # --profile_dir: capture a jax.profiler device trace of the whole run
+    # (use a small --max_epoch when profiling)
+    profiler_ctx = profile_trace(cfg.profile_dir)
+    profiler_ctx.__enter__()
     for epoch in range(start_epoch, cfg.outer_epochs):
         if not cfg.test_only:
             sched = _epoch_sched(cfg, epoch, lambda_vae)
@@ -284,11 +290,12 @@ def run(cfg: TargetConfig) -> float:
                         metrics = dict(metrics,
                                        dice_loss_pseudo=r_metrics["dice_loss"])
 
+                timer.tick()
                 _print_line(m, epoch, cfg.eval_epoch, idx, metrics)
                 runner.saver.write_display(
                     idx + epoch * len(train_loader),
                     [(k, float(v)) for k, v in metrics.items()
-                     if np.ndim(v) == 0])
+                     if np.ndim(v) == 0] + [("steps_per_sec", timer.rate)])
 
         # ------------------------------------------------------------------
         # validation (main_target.py:750-1037)
@@ -315,6 +322,17 @@ def run(cfg: TargetConfig) -> float:
                     "score", np.ones((batch["label"].shape[0],), np.float32)))
                 mse = float(mse_eval(state.params, jnp.asarray(batch["label"]), s))
                 scores[vidx] = 1.0 - mse
+        elif cfg.eval_mode == "sliding_window":
+            if m == "domain_adaptation":
+                seg_apply = lambda p, x: model.apply(  # noqa: E731
+                    {"params": p}, x, method=Joint.segment)
+            else:
+                seg_apply = lambda p, x: model.apply(  # noqa: E731
+                    {"params": p}, x)[0]
+            dsc_sw, scores = common.run_sliding_window_eval(
+                cfg, seg_apply, state.params, n_class=n_class,
+                data_root=cfg.val_data_root, list_key=cfg.val_list,
+                pan_index=cfg.pan_index)
         else:
             sched = _epoch_sched(cfg, epoch, lambda_vae)
             for batch in val_batches():
@@ -387,6 +405,7 @@ def run(cfg: TargetConfig) -> float:
         best = runner.best_result
         if cfg.test_only:
             break
+    profiler_ctx.__exit__(None, None, None)
     runner.saver.close()
     return best
 

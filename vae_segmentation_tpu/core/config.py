@@ -61,6 +61,8 @@ class CommonConfig:
     spatial_shards: int = 1     # shard the D axis over the mesh 'spatial' axis
     profile_dir: Optional[str] = None
     save_root: str = "3dmodel"
+    eval_mode: str = "crop"
+    sw_overlap: float = 0.5
 
     # reference constant, overridable for small-scale tests (must be a
     # multiple of 32: the VAE trunk has 5 stride-2 stages)
@@ -192,6 +194,12 @@ def _add_common(p: argparse.ArgumentParser):
                    help="volume crop size (framework extension; "
                         "multiples of 32)")
     p.add_argument("--save_root", default="3dmodel")
+    p.add_argument("--eval_mode", choices=("crop", "sliding_window"),
+                   default="crop",
+                   help="crop: the reference's one-ROI-crop eval; "
+                        "sliding_window: full-volume patch inference with "
+                        "on-device stitching (framework extension)")
+    p.add_argument("--sw_overlap", type=float, default=0.5)
 
 
 def _ns_to_cfg(ns: argparse.Namespace, cls):

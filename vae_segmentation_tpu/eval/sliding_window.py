@@ -55,7 +55,7 @@ def _gaussian_weight(patch: Sequence[int], sigma_scale: float = 0.125
     return jnp.asarray(np.maximum(w, 1e-4))
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "patch", "batch"))
+@partial(jax.jit, static_argnames=("apply_fn", "patch", "batch", "n_class"))
 def _stitch(apply_fn: Callable, params, volume: jnp.ndarray,
             starts: jnp.ndarray, patch: Tuple[int, int, int],
             batch: int, n_class: int):

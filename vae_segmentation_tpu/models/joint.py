@@ -146,3 +146,10 @@ class Embed(nn.Module):
                                    if_random=False, scale=0.0)
         out["seg_recon"] = seg_recon
         return out
+
+    def segment(self, image: jax.Array) -> jax.Array:
+        """GT-free inference path (Fusion of the latent-decoded init seg) —
+        used by the sliding-window evaluator."""
+        latent = self.Encoder(image)
+        init_seg = self.Vae(latent, mid_input=True)
+        return self.Fusion(image, init_seg)

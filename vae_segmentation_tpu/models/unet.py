@@ -71,4 +71,7 @@ class SegUNet(nn.Module):
         h = drop(self.up4(h) + x2.astype(self.dtype))
         h = drop(self.up5(h))
         h = drop(self.out_block(h))
-        return jax.nn.softmax(h.astype(jnp.float32), axis=-1)
+        # softmax math in f32, output stored in the compute dtype: a full-res
+        # f32 probability volume is 2 GB at 128^3 batch 4 (HBM-decisive)
+        return jax.nn.softmax(h.astype(jnp.float32), axis=-1) \
+            .astype(self.dtype)

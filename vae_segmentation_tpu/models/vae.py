@@ -107,7 +107,9 @@ class ShapeVAE(nn.Module):
             x = up(x)
             x = mc_dropout(self, x, dropout)
         x = self.out_block(x)
-        return jax.nn.softmax(x, axis=-1)
+        # f32 softmax math, compute-dtype storage (HBM: 2 GB vs 1 GB at
+        # 128^3 batch 4 per probability volume)
+        return jax.nn.softmax(x, axis=-1).astype(self.dtype)
 
     def __call__(self, x: jax.Array, if_random: bool = False, scale: float = 1.0,
                  mid_input: bool = False, dropout: float = 0.0):

@@ -31,22 +31,25 @@ _SPATIAL = (1, 2, 3)  # D, H, W axes of a [B, D, H, W, C] tensor
 
 
 def dice(a: jax.Array, b: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """Global soft Dice over all elements (utils/evaluation.py:6-7)."""
-    a = a.astype(jnp.float32)
-    b = b.astype(jnp.float32)
-    return 2.0 * jnp.sum(a * b) / (jnp.sum(a) + jnp.sum(b) + eps)
+    """Global soft Dice over all elements (utils/evaluation.py:6-7).
+    f32 accumulation without materializing f32 copies of the inputs."""
+    inter = jnp.sum(a * b, dtype=jnp.float32)
+    return 2.0 * inter / (jnp.sum(a, dtype=jnp.float32)
+                          + jnp.sum(b, dtype=jnp.float32) + eps)
 
 
 def binarize(a: jax.Array) -> jax.Array:
-    """Hard threshold at 0.5 (utils/evaluation.py:9-10)."""
-    return (a >= 0.5).astype(jnp.float32)
+    """Hard threshold at 0.5 (utils/evaluation.py:9-10). Keeps the input
+    dtype: 0/1 are exact in bf16, and a full-res f32 upcast would cost 2 GB
+    at 128^3 batch 4."""
+    return (a >= 0.5).astype(a.dtype)
 
 
 def confident_binarize(a: jax.Array, hi: float = 0.8, lo: float = 0.2) -> jax.Array:
     """Push confident probabilities to {0,1}, keep the rest soft
     (utils/evaluation.py:12-18)."""
-    a = a.astype(jnp.float32)
-    return jnp.where(a > hi, 1.0, jnp.where(a < lo, 0.0, a))
+    return jnp.where(a > hi, jnp.ones((), a.dtype),
+                     jnp.where(a < lo, jnp.zeros((), a.dtype), a))
 
 
 def onehot_argmax(probs: jax.Array) -> jax.Array:
@@ -57,16 +60,18 @@ def onehot_argmax(probs: jax.Array) -> jax.Array:
     """
     n_class = probs.shape[-1]
     label = jnp.argmax(probs, axis=-1)
-    return jax.nn.one_hot(label, n_class, dtype=jnp.float32)
+    return jax.nn.one_hot(label, n_class, dtype=probs.dtype)
 
 
 def soft_dice_per_class(source: jax.Array, target: jax.Array,
                         eps: float = EVAL_EPS) -> jax.Array:
-    """Per-sample, per-class soft Dice: [B, D, H, W, C] x2 -> [B, C]."""
-    source = source.astype(jnp.float32)
-    target = target.astype(jnp.float32)
-    inter = jnp.sum(source * target, _SPATIAL)
-    denom = jnp.sum(source, _SPATIAL) + jnp.sum(target, _SPATIAL)
+    """Per-sample, per-class soft Dice: [B, D, H, W, C] x2 -> [B, C].
+
+    f32 accumulation (dtype=... on the reduces) over possibly-bf16 inputs —
+    no full-resolution f32 temporaries."""
+    inter = jnp.sum(source * target, _SPATIAL, dtype=jnp.float32)
+    denom = jnp.sum(source, _SPATIAL, dtype=jnp.float32) \
+        + jnp.sum(target, _SPATIAL, dtype=jnp.float32)
     return 2.0 * inter / (denom + eps)
 
 
@@ -114,9 +119,12 @@ def bce(source: jax.Array, target: jax.Array, eps: float = 1e-12) -> jax.Array:
     return -jnp.mean(target * jnp.log(source) + (1.0 - target) * jnp.log1p(-source))
 
 
-def one_hot_label(label: jax.Array, n_class: int) -> jax.Array:
-    """Integer label volume [B, D, H, W] -> one-hot [B, D, H, W, C] float32.
+def one_hot_label(label: jax.Array, n_class: int,
+                  dtype=jnp.bfloat16) -> jax.Array:
+    """Integer label volume [B, D, H, W] -> one-hot [B, D, H, W, C].
 
     Mirrors the scatter_ one-hot in main_source.py:390-392 (class axis last).
+    bf16 by default: 0/1 are exact, and the f32 version is a 2 GB tensor at
+    128^3 batch 4 (the difference between fitting HBM and not).
     """
-    return jax.nn.one_hot(label.astype(jnp.int32), n_class, dtype=jnp.float32)
+    return jax.nn.one_hot(label.astype(jnp.int32), n_class, dtype=dtype)

@@ -1,0 +1,77 @@
+"""End-to-end trainer smoke tests: synthetic dataset -> vae_train ->
+seg_train -> domain_adaptation (dh + ft1) -> test_only eval, all through the
+real CLI argument surface at 32^3 on CPU.
+
+This is the reference's full NIH->target workflow (README.md:50-66) in
+miniature; also covers checkpoint handoff between stages (--load_prefix /
+--load_prefix_vae / --load_prefix_joint) and the score-JSON contract.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vae_segmentation_tpu.data.synthetic import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    write_synthetic_dataset(str(root / "data"), n_train=4, n_val=2, size=40,
+                            seed=0)
+    os.makedirs(root / "lists" / "data", exist_ok=True)
+    (root / "lists" / "data" / "Multi_all.json").write_bytes(
+        (root / "data" / "Multi_all.json").read_bytes())
+    old = os.getcwd()
+    os.chdir(root)
+    yield root
+    os.chdir(old)
+
+
+def _common(root):
+    return [
+        "--train_list", "NIH_train", "--val_list", "NIH_val",
+        "--data_root", str(root / "data"),
+        "--val_data_root", str(root / "data"),
+        "--data_path", "data/Multi_all.json",
+        "--eval_epoch", "1", "--save_epoch", "1", "--max_epoch", "1",
+        "-b", "2", "--patch_size", "32", "32", "32", "--num_workers", "2",
+    ]
+
+
+def test_full_workflow(workdir):
+    from vae_segmentation_tpu.cli.source_main import main as src_main
+    from vae_segmentation_tpu.cli.target_main import main as tgt_main
+
+    src_main(["vae_s", "--method", "vae_train"] + _common(workdir))
+    assert os.path.exists("3dmodel/vae_s/best_model.ckpt")
+    assert os.path.exists("tensorboard/vae_s/score_0.json")
+
+    src_main(["seg_s", "--method", "seg_train"] + _common(workdir))
+    assert os.path.exists("3dmodel/seg_s/best_model.ckpt")
+
+    # flagship: teacher-student with dh schedule + per-case TTT; 2 outer
+    # epochs so the epoch-0 skip is exercised AND a training epoch runs
+    tgt_main(["dom_s", "--method", "domain_adaptation",
+              "--load_prefix", "seg_s", "--load_prefix_vae", "vae_s",
+              "--lambda_vae", "1.0", "--domain_loss_type", "8",
+              "--val_finetune", "1"]
+             + _common(workdir)[:-10]
+             + ["--eval_epoch", "1", "--save_epoch", "2", "--max_epoch", "2",
+                "-b", "2", "--patch_size", "32", "32", "32",
+                "--num_workers", "2"])
+    assert os.path.exists("3dmodel/dom_s/best_model.ckpt")
+    scores = json.load(open("tensorboard/dom_s/score_1.json"))
+    noft = json.load(open("tensorboard/dom_s/score_noft_1.json"))
+    assert len(scores) == 2 and len(noft) == 2
+    for v in scores.values():
+        assert 0.0 <= v <= 1.0
+
+    # eval-only reload of the trained joint model
+    tgt_main(["dom_eval", "--method", "domain_adaptation",
+              "--load_prefix_joint", "dom_s", "--test_only"]
+             + _common(workdir))
+    eval_scores = json.load(open("tensorboard/dom_eval/score_0.json"))
+    assert len(eval_scores) == 2

@@ -196,12 +196,19 @@ class EpochRunner:
 
 
 def make_mesh_if_multichip(cfg: CommonConfig):
-    """1-D 'data' mesh over all chips (+ optional 'spatial' axis via
-    --spatial_shards). None on a single device — everything runs unsharded."""
-    n = jax.device_count()
-    if n == 1 and cfg.spatial_shards == 1:
+    """('data', 'spatial') mesh sized to the run: the data axis is the
+    largest divisor of batch_size that fits the chips left after
+    --spatial_shards. None when that degenerates to a single device —
+    everything runs unsharded."""
+    avail = jax.device_count() // cfg.spatial_shards
+    n_data = 1
+    for d in range(min(avail, cfg.batch_size), 0, -1):
+        if cfg.batch_size % d == 0:
+            n_data = d
+            break
+    if n_data == 1 and cfg.spatial_shards == 1:
         return None
-    return parallel.make_mesh(n_spatial=cfg.spatial_shards)
+    return parallel.make_mesh(n_data=n_data, n_spatial=cfg.spatial_shards)
 
 
 def shard_train_batch(mesh, batch):

@@ -44,13 +44,25 @@ class Joint(nn.Module):
     seg_dropout: float = 0.0
     dtype: Any = jnp.bfloat16
     bottleneck: int = 16384
+    # checkpoint the ENTIRE Seg and Vae forwards: the backward pass then
+    # holds only the 1 GB bf16 pred volume between the two networks instead
+    # of every stage boundary of both trunks — the final piece that fits the
+    # 128^3 batch-4 adaptation step in 16 GB HBM (one extra fwd of FLOPs on
+    # an MXU-underutilized trunk)
+    composite_remat: bool = True
 
     def setup(self):
-        self.Seg = SegUNet(n_class=self.n_class, norm_type=self.norm_type,
-                           fmaps=self.fmaps, dtype=self.dtype)
-        self.Vae = ShapeVAE(n_class=self.n_class, norm_type=self.norm_type,
-                            fmaps=self.fmaps, dim=self.dim, dtype=self.dtype,
-                            bottleneck=self.bottleneck)
+        # static_argnums index (self, x, ...): the flag/rate args must be
+        # static inside the checkpointed call — Joint calls them positionally
+        Seg = nn.remat(SegUNet, static_argnums=(2,)) \
+            if self.composite_remat else SegUNet
+        Vae = nn.remat(ShapeVAE, static_argnums=(2, 3, 4, 5)) \
+            if self.composite_remat else ShapeVAE
+        self.Seg = Seg(n_class=self.n_class, norm_type=self.norm_type,
+                       fmaps=self.fmaps, dtype=self.dtype)
+        self.Vae = Vae(n_class=self.n_class, norm_type=self.norm_type,
+                       fmaps=self.fmaps, dim=self.dim, dtype=self.dtype,
+                       bottleneck=self.bottleneck)
 
     def __call__(self, image: jax.Array, dropout: bool = False):
         """image [B,D,H,W,1] -> (pred, recon, mean, std).
@@ -60,20 +72,19 @@ class Joint(nn.Module):
         reference discards them in the dropout branch, which the trainers
         reproduce by simply not using them.
         """
-        pred = self.Seg(image, dropout=self.seg_dropout if dropout else 0.0)
+        pred = self.Seg(image, self.seg_dropout if dropout else 0.0)
         recon, mean, std = self.Vae(
-            pred, if_random=False, scale=self.vae_forward_scale,
-            dropout=self.vae_decoder_dropout if dropout else 0.0)
+            pred, False, self.vae_forward_scale, False,
+            self.vae_decoder_dropout if dropout else 0.0)
         return pred, recon, mean, std
 
     def segment(self, image: jax.Array, dropout: bool = False) -> jax.Array:
-        return self.Seg(image, dropout=self.seg_dropout if dropout else 0.0)
+        return self.Seg(image, self.seg_dropout if dropout else 0.0)
 
     def vae_forward(self, x: jax.Array, if_random: bool = False,
                     scale: float = 0.0, mid_input: bool = False,
                     dropout: float = 0.0):
-        return self.Vae(x, if_random=if_random, scale=scale,
-                        mid_input=mid_input, dropout=dropout)
+        return self.Vae(x, if_random, scale, mid_input, dropout)
 
 
 class Joint2(nn.Module):

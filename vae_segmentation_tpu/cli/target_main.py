@@ -63,7 +63,26 @@ def _adapt_cfg(cfg: TargetConfig, n_class: int) -> AdaptConfig:
         kl=cfg.kl,
         vae_mont_number=cfg.vae_mont_number,
         turn_enabled=cfg.turn_epoch != -1,
+        return_display=cfg.save_more_reference,
     )
+
+
+def _score_lookup(cfg: TargetConfig, list_key: str):
+    """discriminator_train realism targets: <data_root>/score.json maps case
+    id -> score (the contract the reference's loader stubs out at
+    utils/utils.py:351,360-364); defaults to 1.0 per case when absent."""
+    import json as _json
+
+    from vae_segmentation_tpu.data.manifest import case_id, filedict_from_json
+
+    entries = filedict_from_json(cfg.data_path, list_key, 1)
+    path = os.path.join(cfg.data_root, "score.json")
+    raw = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            raw = _json.load(f)
+    return np.array([float(raw.get(case_id(e), 1.0)) for e in entries],
+                    np.float32)
 
 
 def _epoch_sched(cfg: TargetConfig, epoch: int, lambda_vae: float):
@@ -206,6 +225,8 @@ def run(cfg: TargetConfig) -> float:
         eval_step = make_vae_eval_step(model, n_class)
     elif m == "discriminator_train":
         step = make_discriminator_step(model, tx)
+        train_scores = _score_lookup(cfg, cfg.train_list)
+        val_scores = _score_lookup(cfg, cfg.val_list)
     elif m == "domain_adaptation":
         step = make_adapt_step(model, teacher, tx, acfg)
         eval_step = make_joint_eval_step(model, n_class)
@@ -254,9 +275,9 @@ def run(cfg: TargetConfig) -> float:
                     state, metrics = step(state, label_a, k_step)
                 elif m == "discriminator_train":
                     _, label_a = ingest(image, label, k_aug)
-                    score_t = jnp.asarray(batch.get(
-                        "score", np.ones((label_a.shape[0],), np.float32)))
-                    state, metrics = step(state, label_a, score_t)
+                    idx_arr = np.asarray(batch["index"]) % len(train_scores)
+                    state, metrics = step(state, label_a,
+                                          jnp.asarray(train_scores[idx_arr]))
                 else:
                     # EMA teacher update (main_target.py:508-518)
                     if ema_interval is not None and \
@@ -292,10 +313,13 @@ def run(cfg: TargetConfig) -> float:
 
                 timer.tick()
                 _print_line(m, epoch, cfg.eval_epoch, idx, metrics)
+                display = metrics.pop("display", None)
                 runner.saver.write_display(
                     idx + epoch * len(train_loader),
                     [(k, float(v)) for k, v in metrics.items()
-                     if np.ndim(v) == 0] + [("steps_per_sec", timer.rate)])
+                     if np.ndim(v) == 0] + [("steps_per_sec", timer.rate)],
+                    image=(None if display is None else
+                           {"venous_pancreas_display": np.asarray(display)}))
 
         # ------------------------------------------------------------------
         # validation (main_target.py:750-1037)
@@ -318,8 +342,8 @@ def run(cfg: TargetConfig) -> float:
                 s - model.apply({"params": p}, x[..., None])[:, 0])))
             for batch in val_batches():
                 vidx = int(batch["index"][0])
-                s = jnp.asarray(batch.get(
-                    "score", np.ones((batch["label"].shape[0],), np.float32)))
+                s = jnp.asarray(val_scores[np.asarray(batch["index"])
+                                           % len(val_scores)])
                 mse = float(mse_eval(state.params, jnp.asarray(batch["label"]), s))
                 scores[vidx] = 1.0 - mse
         elif cfg.eval_mode == "sliding_window":

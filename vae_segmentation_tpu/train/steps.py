@@ -157,6 +157,10 @@ class AdaptConfig:
     vae_mont_number: int = 1           # --vae_mont_number
     turn_enabled: bool = False         # --turn_epoch != -1
     kl_weight: float = 2e-5
+    # emit a [4, H, W] mid-slice panel (recon/gt/pred/pseudo) in the aux
+    # dict for the TB image grid (main_target.py:538-541); off by default —
+    # it is a device->host transfer per display step
+    return_display: bool = False
 
 
 def _bucket_lambda(recon_loss, lambda_vae):
@@ -256,6 +260,7 @@ def _student_mc_losses(model: Joint, params, img, onehot, pseudo, klv,
     The count is static and small (default 1) -> unrolled at trace time."""
     n = cfg.n_class
     tot_recon = tot_fake = tot_dsc = tot_final = 0.0
+    display = None
     for i in range(cfg.vae_mont_number):
         sub = jax.random.fold_in(key, i)
         k_rep, k_drop = jax.random.split(sub)
@@ -273,10 +278,20 @@ def _student_mc_losses(model: Joint, params, img, onehot, pseudo, klv,
         tot_fake += fake_loss
         tot_dsc += dsc_loss
         tot_final += final
+        if cfg.return_display:
+            # recon/gt/pred/pseudo mid-W slices of sample 0, class 1
+            # (main_target.py:538-541 panel layout)
+            w2 = pred.shape[3] // 2
+            display = jax.lax.stop_gradient(jnp.stack([
+                recon[0, :, :, w2, 1], onehot[0, :, :, w2, 1],
+                pred[0, :, :, w2, 1], pseudo[0, :, :, w2, 1],
+            ]).astype(jnp.float32))
     m = cfg.vae_mont_number
-    return (tot_final / m,
-            {"recon_loss": tot_recon / m, "dice_loss_fake": tot_fake / m,
-             "dice_loss": tot_dsc / m})
+    aux = {"recon_loss": tot_recon / m, "dice_loss_fake": tot_fake / m,
+           "dice_loss": tot_dsc / m}
+    if cfg.return_display:
+        aux["display"] = display
+    return tot_final / m, aux
 
 
 def make_adapt_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig):

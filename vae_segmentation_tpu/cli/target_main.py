@@ -228,7 +228,11 @@ def run(cfg: TargetConfig) -> float:
         train_scores = _score_lookup(cfg, cfg.train_list)
         val_scores = _score_lookup(cfg, cfg.val_list)
     elif m == "domain_adaptation":
-        step = make_adapt_step(model, teacher, tx, acfg)
+        # --pseudo_list runs use the restricted loss subset of
+        # main_target.py:642-653 for the target batch
+        step = make_adapt_step(
+            model, teacher, tx, acfg,
+            variant="pseudo" if cfg.pseudo_list is not None else "train")
         eval_step = make_joint_eval_step(model, n_class)
         if cfg.val_finetune != 0:
             tx_ft = optim.freeze_vae(
@@ -279,8 +283,19 @@ def run(cfg: TargetConfig) -> float:
                     state, metrics = step(state, label_a,
                                           jnp.asarray(train_scores[idx_arr]))
                 else:
+                    if cfg.pseudo_list is not None:
+                        # pseudo_list branch: FULL teacher<-student copy per
+                        # qualifying iteration, tag divides lambda by 10
+                        # (main_target.py:633-635)
+                        if cfg.pseudo_save_epoch != 0 and \
+                                epoch % cfg.pseudo_save_epoch == 0:
+                            teacher_params = jax.tree.map(jnp.copy,
+                                                          state.params)
+                            if cfg.tag:
+                                lambda_vae = lambda_vae / 10.0
+                                sched = _epoch_sched(cfg, epoch, lambda_vae)
                     # EMA teacher update (main_target.py:508-518)
-                    if ema_interval is not None and \
+                    elif ema_interval is not None and \
                             epoch % max(cfg.pseudo_save_epoch // cfg.eval_epoch, 1) == 0 and \
                             (cfg.update_every_iteration or idx % ema_interval == 0):
                         if not cfg.update_every_iteration:

@@ -179,11 +179,23 @@ def adapt_loss(recon_loss, fake_loss, klv, pred_sq_mean, cfg: AdaptConfig,
     variant='train'    -> main_target.py:548-592
     variant='finetune' -> main_target.py:835-884 (ft1 path; differs at loss
                           types 12, 13, 15)
+    variant='pseudo'   -> main_target.py:642-653 (--pseudo_list branch:
+                          only type 8 [un-normalized], the lambda>=1000
+                          recon-only mode, and the plain default)
     """
     lam = sched["lambda_vae"]
     t = cfg.domain_loss_type
     if cfg.only_pseudo:
         return fake_loss
+    if variant == "pseudo":
+        if t == 8:
+            cur = _bucket_lambda(recon_loss, lam)
+            return jnp.where(cur > 1.0,
+                             recon_loss + fake_loss / cur,
+                             cur * recon_loss + fake_loss)
+        return jnp.where(lam >= 1000.0,
+                         recon_loss * lam / 10000.0,
+                         lam * recon_loss + fake_loss)
     if (variant == "train" and t in (8, 15, 16)) or \
        (variant == "finetune" and t == 8):
         cur = _bucket_lambda(recon_loss, lam)
@@ -294,12 +306,14 @@ def _student_mc_losses(model: Joint, params, img, onehot, pseudo, klv,
     return tot_final / m, aux
 
 
-def make_adapt_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig):
+def make_adapt_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig, *,
+                    variant: str = "train"):
     """Teacher-student adaptation step (main_target.py:505-613).
 
     Teacher forward is deterministic, so it is hoisted out of both the MC loop
     and the grad; gradients flow through the (frozen) student VAE into the
-    student Seg via the optimizer mask (train/optim.py)."""
+    student Seg via the optimizer mask (train/optim.py). variant='pseudo'
+    selects the --pseudo_list loss subset (adapt_loss docstring)."""
 
     def step(state: TrainState, teacher_params, image, label, key,
              sched: Dict[str, jax.Array]):
@@ -313,7 +327,7 @@ def make_adapt_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig):
 
         def loss_fn(p):
             return _student_mc_losses(model, p, img, onehot, pseudo, klv,
-                                      cfg, sched, key, variant="train")
+                                      cfg, sched, key, variant=variant)
 
         (final, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

@@ -34,13 +34,18 @@ Dtype = Any
 
 
 def use_pallas_norm() -> bool:
-    """Fused Pallas InstanceNorm+ReLU (ops/pallas/instance_norm.py) is used
-    on TPU unless VAESEG_PALLAS=0; off-TPU it would run in the (slow)
-    interpreter, so it is opt-in there via VAESEG_PALLAS=1."""
-    env = os.environ.get("VAESEG_PALLAS")
-    if env is not None:
-        return env == "1"
-    return jax.default_backend() == "tpu"
+    """Route InstanceNorm+ReLU through the fused Pallas kernel
+    (ops/pallas/instance_norm.py) when VAESEG_PALLAS=1.
+
+    OFF by default after measurement: at the network level the pallas_call
+    boundaries force layout conversions of the lane-padded conv activations
+    (XLA stores C=8 channels-last tensors 16x padded to the 128-lane tile),
+    costing +60% on the Seg forward (147 ms XLA-fused vs 238 ms Pallas at
+    128^3 batch 4, probe 2026-08-16). XLA's own fusion of mean/var/
+    normalize/relu into the conv consumers is layout-native and wins. The
+    kernels stay maintained (tests/test_pallas.py) for layouts where they
+    pay off and as the north-star fused-op artifact."""
+    return os.environ.get("VAESEG_PALLAS") == "1"
 
 # Feature maps used by every model in the zoo (joint_model.py:207,276,352,395).
 DEFAULT_FMAPS = (8, 16, 32, 64, 128, 256)

@@ -1,0 +1,141 @@
+"""Exactness of the space-to-depth conv transform (ops/s2d.py): every
+folded op must match its unfolded original to fp tolerance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vae_segmentation_tpu.ops import s2d
+
+
+@pytest.fixture()
+def x8(rng):
+    return jnp.asarray(rng.normal(size=(2, 8, 8, 16, 3)), jnp.float32)
+
+
+def test_fold_unfold_roundtrip(x8):
+    np.testing.assert_array_equal(np.asarray(s2d.unfold(s2d.fold(x8))),
+                                  np.asarray(x8))
+
+
+def test_expand_kernel_fast_matches_spec(rng):
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)), jnp.float32)
+    slow = s2d.expand_kernel3(k)
+    fast = s2d.expand_kernel3_fast(k)
+    np.testing.assert_array_equal(np.asarray(slow), np.asarray(fast))
+
+
+def test_conv3_folded_exact(rng, x8):
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)) * 0.3, jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x8, k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = s2d.unfold(s2d.conv3_folded(s2d.fold(x8), k))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_down_conv_folded_exact(rng, x8):
+    k = jnp.asarray(rng.normal(size=(2, 2, 2, 3, 7)) * 0.3, jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x8, k, (2, 2, 2), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = jax.lax.conv_general_dilated(
+        s2d.fold(x8), s2d.expand_down_kernel(k), (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_up_convtranspose_folded_exact(rng, x8):
+    ct = nn.ConvTranspose(6, kernel_size=(2, 2, 2), strides=(2, 2, 2),
+                          padding="VALID")
+    params = ct.init({"params": jax.random.PRNGKey(0)}, x8)
+    want = ct.apply(params, x8)
+    k = params["params"]["kernel"]
+    b = params["params"]["bias"]
+    got_folded = jax.lax.conv_general_dilated(
+        x8, s2d.expand_up_kernel(k), (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = s2d.unfold(got_folded) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_folded_exact(rng, x8):
+    from vae_segmentation_tpu.models.blocks import instance_norm
+
+    want = instance_norm(x8)
+    got = s2d.unfold(s2d.instance_norm_folded(s2d.fold(x8), x8.shape[-1]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_softmax_folded_exact(rng, x8):
+    want = jax.nn.softmax(x8, axis=-1)
+    got = s2d.unfold(s2d.softmax_folded(s2d.fold(x8), x8.shape[-1])
+                     .astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_segunet_s2d_model_parity(rng):
+    """Whole SegUNet: s2d on vs off must agree to fp tolerance with the
+    SAME params (the transform is exact and the param tree identical)."""
+    from vae_segmentation_tpu.models import SegUNet
+
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 32, 1)), jnp.float32)
+    m_off = SegUNet(n_class=2, dtype=jnp.float32, s2d=False)
+    m_on = SegUNet(n_class=2, dtype=jnp.float32, s2d=True)
+    params = m_off.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    p2 = m_on.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(p2)
+    want = m_off.apply({"params": params}, x)
+    got = m_on.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_vae_s2d_model_parity(rng):
+    from vae_segmentation_tpu.models import ShapeVAE
+
+    oh = jax.nn.one_hot(
+        jnp.asarray(rng.integers(0, 2, (1, 32, 32, 32))), 2,
+        dtype=jnp.float32)
+    # 32^3 input, 5 stride-2 stages -> 1^3 x 256 bottleneck
+    kw = dict(n_class=2, dim=16, bottleneck=256, dtype=jnp.float32)
+    m_off = ShapeVAE(s2d=False, **kw)
+    m_on = ShapeVAE(s2d=True, **kw)
+    params = m_off.init({"params": jax.random.PRNGKey(0)}, oh)["params"]
+    r_off, mu_off, sd_off = m_off.apply({"params": params}, oh)
+    r_on, mu_on, sd_on = m_on.apply({"params": params}, oh)
+    np.testing.assert_allclose(np.asarray(mu_on), np.asarray(mu_off),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sd_on), np.asarray(sd_off),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r_on), np.asarray(r_off),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_grad_through_folded_conv(rng, x8):
+    """Weight gradients through the expansion equal the unfolded conv's."""
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 3)) * 0.3, jnp.float32)
+
+    def loss_folded(k):
+        y = s2d.conv3_folded(s2d.fold(x8), k)
+        return jnp.sum(y ** 2)
+
+    def loss_ref(k):
+        y = jax.lax.conv_general_dilated(
+            x8, k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return jnp.sum(y ** 2)
+
+    gf = jax.grad(loss_folded)(k)
+    gr = jax.grad(loss_ref)(k)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-3, atol=1e-3)

@@ -33,6 +33,15 @@ from flax import linen as nn
 Dtype = Any
 
 
+def use_s2d() -> bool:
+    """Space-to-depth default for the lane-starved conv stages: ON on TPU
+    (the whole point, see ops/s2d.py), opt-in/out via VAESEG_S2D."""
+    env = os.environ.get("VAESEG_S2D")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def use_pallas_norm() -> bool:
     """Route InstanceNorm+ReLU through the fused Pallas kernel
     (ops/pallas/instance_norm.py) when VAESEG_PALLAS=1.
@@ -130,9 +139,17 @@ def _act(soft: bool):
     return jax.nn.softplus if soft else jax.nn.relu
 
 
-def _norm_act(x: jax.Array, norm_type: int, soft: bool) -> jax.Array:
-    """norm + activation, routed through the fused Pallas kernel when the
-    pair is the InstanceNorm+ReLU hot path."""
+def _norm_act(x: jax.Array, norm_type: int, soft: bool,
+              folded_c: int = 0) -> jax.Array:
+    """norm + activation. folded_c > 0: x is a space-to-depth rep with
+    folded_c original channels (stats grouped accordingly). The fused
+    Pallas kernel handles the InstanceNorm+ReLU pair when enabled."""
+    if folded_c:
+        from vae_segmentation_tpu.ops import s2d
+
+        assert norm_type == 1, "s2d supports InstanceNorm stages only"
+        x = s2d.instance_norm_folded(x, folded_c)
+        return _act(soft)(x)
     if norm_type == 1 and not soft and use_pallas_norm():
         from vae_segmentation_tpu.ops.pallas import instance_norm_act
 
@@ -154,42 +171,106 @@ def mc_dropout(module: nn.Module, x: jax.Array, rate: float) -> jax.Array:
 
 
 class Conv3(nn.Module):
-    """3^3 same-padding conv with torch-style init."""
+    """3^3 same-padding conv with torch-style init.
+
+    Owns its kernel/bias params directly (path: .../Conv3_i/{kernel,bias})
+    so the space-to-depth path can re-expand the SAME weights
+    (ops/s2d.py). mode:
+      'normal'       — plain conv on [B, D, H, W, C];
+      'folded'       — 3^3 SAME stride-1 conv on the folded rep
+                       [B, D/2, H/2, W/2, 8C] via expand_kernel3_fast;
+      'fold_consume' — the stride-2 2^3 Down entry consuming a folded
+                       input as a 1^3 conv (emits unfolded).
+    """
 
     features: int
     kernel: Sequence[int] = (3, 3, 3)
     strides: Sequence[int] = (1, 1, 1)
     padding: Any = "SAME"
     dtype: Dtype = jnp.bfloat16
+    mode: str = "normal"
 
     @nn.compact
     def __call__(self, x):
+        from vae_segmentation_tpu.ops import s2d
+
         in_ch = x.shape[-1]
+        if self.mode in ("folded", "fold_consume"):
+            in_ch = in_ch // s2d.NB  # params keep the UNfolded shape
+        kshape = (*self.kernel, in_ch, self.features)
         fan_in = math.prod(self.kernel) * in_ch
-        return nn.Conv(
-            self.features,
-            kernel_size=tuple(self.kernel),
-            strides=tuple(self.strides),
-            padding=self.padding,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=torch_uniform_init("conv"),
-            bias_init=torch_bias_init(fan_in),
-        )(x)
+        k = self.param("kernel", torch_uniform_init("conv"), kshape,
+                       jnp.float32)
+        b = self.param("bias", torch_bias_init(fan_in), (self.features,),
+                       jnp.float32)
+        xd = x.astype(self.dtype)
+        if self.mode == "normal":
+            y = jax.lax.conv_general_dilated(
+                xd, k.astype(self.dtype), tuple(self.strides), self.padding,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        elif self.mode == "folded":
+            y = s2d.conv3_folded(xd, k, dtype=self.dtype)
+        elif self.mode == "fold_consume":
+            y = jax.lax.conv_general_dilated(
+                xd, s2d.expand_down_kernel(k).astype(self.dtype),
+                (1, 1, 1), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        else:
+            raise ValueError(self.mode)
+        bias = b.astype(self.dtype)
+        if self.mode == "folded":
+            bias = jnp.tile(bias, s2d.NB)
+        return y + bias
+
+
+class TConv2(nn.Module):
+    """2^3 stride-2 ConvTranspose (channel-preserving Up entry,
+    joint_model.py:114-124) with torch-style init and an optional
+    fold-emitting mode (1^3 conv producing the folded high-res rep)."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    fold_emit: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from vae_segmentation_tpu.ops import s2d
+
+        in_ch = x.shape[-1]
+        k = self.param("kernel", torch_uniform_init("transpose"),
+                       (2, 2, 2, in_ch, self.features), jnp.float32)
+        b = self.param("bias", torch_bias_init(8 * in_ch),
+                       (self.features,), jnp.float32)
+        xd = x.astype(self.dtype)
+        if self.fold_emit:
+            y = jax.lax.conv_general_dilated(
+                xd, s2d.expand_up_kernel(k).astype(self.dtype),
+                (1, 1, 1), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            return y + jnp.tile(b.astype(self.dtype), s2d.NB)
+        y = jax.lax.conv_transpose(
+            xd, k.astype(self.dtype), strides=(2, 2, 2), padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y + b.astype(self.dtype)
 
 
 class ConvNormAct(nn.Module):
-    """conv3^3 + norm + activation (reference `Conv`, joint_model.py:101-112)."""
+    """conv3^3 + norm + activation (reference `Conv`, joint_model.py:101-112).
+
+    folded=True: input AND output are space-to-depth reps (ops/s2d.py)."""
 
     features: int
     norm_type: int = 1
     soft: bool = False
     dtype: Dtype = jnp.bfloat16
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = Conv3(self.features, dtype=self.dtype)(x)
-        return _norm_act(x, self.norm_type, self.soft)
+        mode = "folded" if self.folded else "normal"
+        x = Conv3(self.features, dtype=self.dtype, mode=mode)(x)
+        return _norm_act(x, self.norm_type, self.soft,
+                         folded_c=self.features if self.folded else 0)
 
 
 class DoubleConv(nn.Module):
@@ -200,56 +281,74 @@ class DoubleConv(nn.Module):
     norm_type: int = 1
     soft: bool = False
     dtype: Dtype = jnp.bfloat16
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x):
+        mode = "folded" if self.folded else "normal"
         for _ in range(3):
-            x = Conv3(self.features, dtype=self.dtype)(x)
-            x = _norm_act(x, self.norm_type, self.soft)
+            x = Conv3(self.features, dtype=self.dtype, mode=mode)(x)
+            x = _norm_act(x, self.norm_type, self.soft,
+                          folded_c=self.features if self.folded else 0)
         return x
 
 
 class Down(nn.Module):
     """Channel-preserving strided 2^3 conv then DoubleConv(in->out)
-    (joint_model.py:126-136)."""
+    (joint_model.py:126-136).
+
+    folded_in: the strided conv consumes a space-to-depth rep (1^3 conv)
+    and emits the coarser resolution unfolded — the natural fold boundary.
+    folded_out: refold the coarser resolution and run the DoubleConv in
+    s2d space too (used while channel counts are still lane-starved)."""
 
     features: int
     norm_type: int = 1
     soft: bool = False
     dtype: Dtype = jnp.bfloat16
+    folded_in: bool = False
+    folded_out: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = Conv3(x.shape[-1], kernel=(2, 2, 2), strides=(2, 2, 2),
-                  padding="VALID", dtype=self.dtype)(x)
+        from vae_segmentation_tpu.ops import s2d
+
+        in_ch = x.shape[-1] // (s2d.NB if self.folded_in else 1)
+        x = Conv3(in_ch, kernel=(2, 2, 2), strides=(2, 2, 2),
+                  padding="VALID", dtype=self.dtype,
+                  mode="fold_consume" if self.folded_in else "normal")(x)
+        if self.folded_out:
+            x = s2d.fold(x)
         return DoubleConv(self.features, self.norm_type, self.soft,
-                          dtype=self.dtype)(x)
+                          dtype=self.dtype, folded=self.folded_out)(x)
 
 
 class Up(nn.Module):
     """Channel-preserving ConvTranspose 2^3 stride 2 then DoubleConv(in->out)
-    (joint_model.py:114-124)."""
+    (joint_model.py:114-124).
+
+    folded_in: the incoming coarse tensor is a space-to-depth rep — unfold
+    first (the transpose conv wants the true resolution). folded_out: the
+    transpose conv emits the fine resolution as a folded rep (1^3 conv)
+    and the DoubleConv runs in s2d space."""
 
     features: int
     norm_type: int = 1
     soft: bool = False
     dtype: Dtype = jnp.bfloat16
+    folded_in: bool = False
+    folded_out: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from vae_segmentation_tpu.ops import s2d
+
+        if self.folded_in:
+            x = s2d.unfold(x)
         in_ch = x.shape[-1]
-        x = nn.ConvTranspose(
-            in_ch,
-            kernel_size=(2, 2, 2),
-            strides=(2, 2, 2),
-            padding="VALID",
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=torch_uniform_init("transpose"),
-            bias_init=torch_bias_init(8 * in_ch),
-        )(x)
+        x = TConv2(in_ch, dtype=self.dtype, fold_emit=self.folded_out)(x)
         return DoubleConv(self.features, self.norm_type, self.soft,
-                          dtype=self.dtype)(x)
+                          dtype=self.dtype, folded=self.folded_out)(x)
 
 
 def remat_stage(cls, enabled: bool = True):
@@ -264,12 +363,14 @@ def remat_stage(cls, enabled: bool = True):
 
 class OutConv(nn.Module):
     """Plain 3^3 conv head (no norm/act), fp32 output for the softmax
-    (joint_model.py:224,366)."""
+    (joint_model.py:224,366). folded: s2d in AND out."""
 
     features: int
     dtype: Dtype = jnp.bfloat16
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = Conv3(self.features, dtype=self.dtype)(x)
+        x = Conv3(self.features, dtype=self.dtype,
+                  mode="folded" if self.folded else "normal")(x)
         return x.astype(jnp.float32)

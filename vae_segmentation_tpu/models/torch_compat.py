@@ -9,12 +9,12 @@ Key structure mapping (reference joint_model.py vs our models/*):
 
   torch                                  flax (ours)
   ------------------------------------   --------------------------------
-  in_block.conv.0.{weight,bias}          in_block/Conv3_0/Conv_0/{kernel,bias}
-  downK.conv.0.*        (strided conv)   downK/Conv3_0/Conv_0/*
-  downK.conv.1.conv.{0,3,6}.*            downK/DoubleConv_0/Conv3_{0,1,2}/Conv_0/*
-  upK.conv.0.*          (ConvTranspose)  upK/ConvTranspose_0/*
-  upK.conv.1.conv.{0,3,6}.*              upK/DoubleConv_0/Conv3_{0,1,2}/Conv_0/*
-  out_block.* (bare Conv3d in Seg/VAE)   out_block/Conv3_0/Conv_0/*
+  in_block.conv.0.{weight,bias}          in_block/Conv3_0/{kernel,bias}
+  downK.conv.0.*        (strided conv)   downK/Conv3_0/*
+  downK.conv.1.conv.{0,3,6}.*            downK/DoubleConv_0/Conv3_{0,1,2}/*
+  upK.conv.0.*          (ConvTranspose)  upK/TConv2_0/*
+  upK.conv.1.conv.{0,3,6}.*              upK/DoubleConv_0/Conv3_{0,1,2}/*
+  out_block.* (bare Conv3d in Seg/VAE)   out_block/Conv3_0/*
   fc_mean / fc_std / fc2 / fc1           same name, kernel transposed
 
 Weight layout transforms:
@@ -95,9 +95,9 @@ def _torch_key(path: Tuple[str, ...], bare_out_block: bool) -> str:
         if bare_out_block:
             return "out_block"
         return "out_block.conv.0"
-    if parts[1] == "ConvTranspose_0":
+    if parts[1] in ("ConvTranspose_0", "TConv2_0"):
         return f"{name}.conv.0"
-    if parts[1] == "Conv3_0" and len(parts) == 3 and parts[2] == "Conv_0":
+    if parts[1] == "Conv3_0" and len(parts) == 2:
         # in_block/merge (Conv module) or the strided conv of a Down
         return f"{name}.conv.0"
     if parts[1] == "DoubleConv_0":
@@ -137,7 +137,7 @@ def convert_component(state_dict: Dict[str, Any], template: Dict,
         w = np.asarray(state_dict[tname], dtype=np.float32)
         base = path[0]
         if kind == "kernel":
-            if w.ndim == 5 and path[-2] == "ConvTranspose_0":
+            if w.ndim == 5 and path[-2] in ("ConvTranspose_0", "TConv2_0"):
                 w = _convt_kernel(w)
             elif w.ndim == 5:
                 w = _conv_kernel(w)

@@ -39,30 +39,45 @@ class SegUNet(nn.Module):
     dtype: Any = jnp.bfloat16
 
     remat: bool = True
+    # space-to-depth for the lane-starved stages (ops/s2d.py): exact same
+    # math and SAME param tree; None -> models.blocks.use_s2d() default
+    s2d: Any = None
+
+    def _s2d(self) -> bool:
+        from vae_segmentation_tpu.models.blocks import use_s2d
+
+        return use_s2d() if self.s2d is None else bool(self.s2d)
 
     def setup(self):
         f = self.fmaps
+        fold = self._s2d() and self.norm_type == 1
         CNA = remat_stage(ConvNormAct, self.remat)
         RDown = remat_stage(Down, self.remat)
         RUp = remat_stage(Up, self.remat)
         kw = dict(norm_type=self.norm_type, dtype=self.dtype)
-        self.in_block = CNA(f[0], **kw)
-        self.down1 = RDown(f[1], **kw)
-        self.down2 = RDown(f[2], **kw)
+        self.in_block = CNA(f[0], folded=fold, **kw)
+        self.down1 = RDown(f[1], folded_in=fold, folded_out=fold, **kw)
+        self.down2 = RDown(f[2], folded_in=fold, **kw)
         self.down3 = RDown(f[3], **kw)
         self.down4 = RDown(f[4], **kw)
         self.up2 = RUp(f[3], **kw)
         self.up3 = RUp(f[2], **kw)
-        self.up4 = RUp(f[1], **kw)
-        self.up5 = RUp(f[0], **kw)
-        self.out_block = OutConv(self.n_class, dtype=self.dtype)
+        self.up4 = RUp(f[1], folded_out=fold, **kw)
+        self.up5 = RUp(f[0], folded_in=fold, folded_out=fold, **kw)
+        self.out_block = OutConv(self.n_class, dtype=self.dtype, folded=fold)
 
     def __call__(self, x: jax.Array, dropout: float = 0.0) -> jax.Array:
+        from vae_segmentation_tpu.ops import s2d as s2d_ops
+
+        fold = self._s2d() and self.norm_type == 1
+
         def drop(h):
             return mc_dropout(self, h, dropout)
 
+        if fold:
+            x = s2d_ops.fold(x)
         x1 = self.in_block(x)
-        x2 = self.down1(x1)
+        x2 = self.down1(x1)   # folded rep at half res when fold
         x3 = self.down2(x2)
         x4 = self.down3(x3)
         x5 = self.down4(x4)
@@ -73,5 +88,8 @@ class SegUNet(nn.Module):
         h = drop(self.out_block(h))
         # softmax math in f32, output stored in the compute dtype: a full-res
         # f32 probability volume is 2 GB at 128^3 batch 4 (HBM-decisive)
+        if fold:
+            h = s2d_ops.softmax_folded(h, self.n_class).astype(self.dtype)
+            return s2d_ops.unfold(h)
         return jax.nn.softmax(h.astype(jnp.float32), axis=-1) \
             .astype(self.dtype)

@@ -61,16 +61,25 @@ class ShapeVAE(nn.Module):
     bottleneck: int = 16384  # fmaps[5] * 4^3 at the 128^3 patch size
 
     remat: bool = True
+    # space-to-depth for the lane-starved stages (ops/s2d.py); None ->
+    # models.blocks.use_s2d() default. Exact math, identical param tree.
+    s2d: Any = None
+
+    def _s2d(self) -> bool:
+        from vae_segmentation_tpu.models.blocks import use_s2d
+
+        return use_s2d() if self.s2d is None else bool(self.s2d)
 
     def setup(self):
         f = self.fmaps
+        fold = self._s2d() and self.norm_type == 1
         CNA = remat_stage(ConvNormAct, self.remat)
         RDown = remat_stage(Down, self.remat)
         RUp = remat_stage(Up, self.remat)
         kw = dict(norm_type=self.norm_type, soft=self.soft, dtype=self.dtype)
-        self.in_block = CNA(f[0], **kw)
-        self.down1 = RDown(f[1], **kw)
-        self.down2 = RDown(f[2], **kw)
+        self.in_block = CNA(f[0], folded=fold, **kw)
+        self.down1 = RDown(f[1], folded_in=fold, folded_out=fold, **kw)
+        self.down2 = RDown(f[2], folded_in=fold, **kw)
         self.down3 = RDown(f[3], **kw)
         self.down4 = RDown(f[4], **kw)
         self.down5 = RDown(f[5], **kw)
@@ -80,12 +89,16 @@ class ShapeVAE(nn.Module):
         self.up1 = RUp(f[4], **kw)
         self.up2 = RUp(f[3], **kw)
         self.up3 = RUp(f[2], **kw)
-        self.up4 = RUp(f[1], **kw)
-        self.up5 = RUp(f[0], **kw)
-        self.out_block = OutConv(self.n_class, dtype=self.dtype)
+        self.up4 = RUp(f[1], folded_out=fold, **kw)
+        self.up5 = RUp(f[0], folded_in=fold, folded_out=fold, **kw)
+        self.out_block = OutConv(self.n_class, dtype=self.dtype, folded=fold)
 
     def encode(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """One-hot mask -> (mean, std), std >= 0 (joint_model.py:235-243)."""
+        from vae_segmentation_tpu.ops import s2d as s2d_ops
+
+        if self._s2d() and self.norm_type == 1:
+            x = s2d_ops.fold(x)
         x = self.in_block(x)
         x = self.down1(x)
         x = self.down2(x)
@@ -100,6 +113,9 @@ class ShapeVAE(nn.Module):
     def decode(self, z: jax.Array, dropout: float = 0.0) -> jax.Array:
         """Latent [B, dim] -> softmax probabilities [B, D, H, W, n_class]
         (joint_model.py:252-266)."""
+        from vae_segmentation_tpu.ops import s2d as s2d_ops
+
+        fold = self._s2d() and self.norm_type == 1
         side = round((self.bottleneck // self.fmaps[5]) ** (1.0 / 3.0))
         x = self.fc2(z.astype(self.dtype))
         x = x.reshape(x.shape[0], side, side, side, self.fmaps[5])
@@ -109,6 +125,9 @@ class ShapeVAE(nn.Module):
         x = self.out_block(x)
         # f32 softmax math, compute-dtype storage (HBM: 2 GB vs 1 GB at
         # 128^3 batch 4 per probability volume)
+        if fold:
+            x = s2d_ops.softmax_folded(x, self.n_class).astype(self.dtype)
+            return s2d_ops.unfold(x)
         return jax.nn.softmax(x, axis=-1).astype(self.dtype)
 
     def __call__(self, x: jax.Array, if_random: bool = False, scale: float = 1.0,

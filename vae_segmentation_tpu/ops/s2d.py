@@ -1,0 +1,176 @@
+"""Space-to-depth ("s2d") conv transform for small-channel stages.
+
+Problem (BENCH.md): XLA's TPU conv emitter keeps features in the 128-lane
+dimension, so the U-Net's full-resolution stages (C = 1..16) store every
+activation 8-128x lane-padded and run at padded-HBM bandwidth.
+
+Exact fix: compute those stages in a folded representation — 2x2x2 spatial
+blocks moved into channels ([B, D, H, W, C] -> [B, D/2, H/2, W/2, 8C]) —
+with the 3^3 stride-1 SAME conv replaced by the algebraically IDENTICAL
+3^3 conv on folded tensors whose (8Cin, 8Cout) kernel is an index-expansion
+of the original (Cin, Cout) weights:
+
+    K[Δ+1][(ε, c), (δ, o)] = k[t, c, o],  t = 2Δ + ε - δ + 1, per axis,
+    zero outside t ∈ {0, 1, 2}.
+
+Derivation: y[2p+δ] = Σ_t k[t]·x[2p+δ-1+t]; substitute the source block
+q = p + Δ and in-block offset ε of index 2q+ε = 2p+δ-1+t.
+
+The model's resampling ops are natural fold boundaries:
+  * Down's stride-2 2^3 conv consumes a folded tensor as a 1^3 conv
+    (K1[(ε,c), o] = k[ε, c, o]) and emits the coarser resolution unfolded;
+  * Up's stride-2 2^3 ConvTranspose emits a folded tensor as a 1^3 conv
+    (KT[c, (δ,o)] = kT_flax[δ, c, o] — flax ConvTranspose applies the
+    kernel unflipped, so tap δ IS the kernel index).
+
+InstanceNorm/ReLU/softmax/dropout all commute with the fold (stats grouped
+over the 8 in-block positions; see fold_* helpers). Parameters stay in their
+original shapes — the expansion is a traced weight transform, so checkpoints
+and torch conversion are untouched, and gradients flow through the
+expansion (conv backward stays a plain XLA conv in folded space).
+
+All functions are exact (up to fp reassociation); parity is tested in
+tests/test_s2d.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+F = 2  # fold factor per axis
+NB = F * F * F  # in-block positions
+
+
+def fold(x: jax.Array) -> jax.Array:
+    """[B, D, H, W, C] -> [B, D/2, H/2, W/2, 8C]; folded channel index is
+    ((ed*2+eh)*2+ew)*C + c."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // F, F, h // F, F, w // F, F, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, d // F, h // F, w // F, NB * c)
+
+
+def unfold(x: jax.Array) -> jax.Array:
+    """Inverse of fold."""
+    b, d2, h2, w2, fc = x.shape
+    c = fc // NB
+    x = x.reshape(b, d2, h2, w2, F, F, F, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, d2 * F, h2 * F, w2 * F, c)
+
+
+def _axis_map() -> np.ndarray:
+    """tap[Δ+1, ε, δ] = t (or -1): the per-axis index rule."""
+    m = -np.ones((3, F, F), np.int32)
+    for dlt in (-1, 0, 1):
+        for eps in range(F):
+            for dout in range(F):
+                t = F * dlt + eps - dout + 1
+                if 0 <= t <= 2:
+                    m[dlt + 1, eps, dout] = t
+    return m
+
+
+_AX = _axis_map()
+
+
+def expand_kernel3(k: jax.Array) -> jax.Array:
+    """[3,3,3,Cin,Cout] -> folded [3,3,3,8*Cin,8*Cout] (zeros where the
+    original conv has no tap)."""
+    cin, cout = k.shape[3], k.shape[4]
+    out = jnp.zeros((3, 3, 3, NB * cin, NB * cout), k.dtype)
+    for dd in range(3):
+        for hh in range(3):
+            for ww in range(3):
+                for ed in range(F):
+                    for eh in range(F):
+                        for ew in range(F):
+                            for od in range(F):
+                                for oh in range(F):
+                                    for ow in range(F):
+                                        td = _AX[dd, ed, od]
+                                        th = _AX[hh, eh, oh]
+                                        tw = _AX[ww, ew, ow]
+                                        if td < 0 or th < 0 or tw < 0:
+                                            continue
+                                        fi = ((ed * F + eh) * F + ew) * cin
+                                        fo = ((od * F + oh) * F + ow) * cout
+                                        out = out.at[
+                                            dd, hh, ww,
+                                            fi:fi + cin,
+                                            fo:fo + cout,
+                                        ].set(k[td, th, tw])
+    return out
+
+
+def expand_kernel3_fast(k: jax.Array) -> jax.Array:
+    """Vectorized expand_kernel3 (the loop version is the readable spec;
+    this is what the train step traces). Builds a gather of k's taps."""
+    cin, cout = k.shape[3], k.shape[4]
+    # Build [3,3,3, F,F,F (eps), F,F,F (delta)] tap indices + validity
+    tD = jnp.asarray(_AX)  # [3(Δ), F(ε), F(δ)], -1 = no tap
+    idx_d = tD[:, None, None, :, None, None, :, None, None]
+    idx_h = tD[None, :, None, None, :, None, None, :, None]
+    idx_w = tD[None, None, :, None, None, :, None, None, :]
+    shape = jnp.broadcast_shapes(idx_d.shape, idx_h.shape, idx_w.shape)
+    idx_d = jnp.broadcast_to(idx_d, shape)
+    idx_h = jnp.broadcast_to(idx_h, shape)
+    idx_w = jnp.broadcast_to(idx_w, shape)
+    valid = (idx_d >= 0) & (idx_h >= 0) & (idx_w >= 0)
+    gathered = k[jnp.clip(idx_d, 0), jnp.clip(idx_h, 0), jnp.clip(idx_w, 0)]
+    gathered = jnp.where(valid[..., None, None], gathered, 0.0)
+    # [Δd,Δh,Δw, εd,εh,εw, δd,δh,δw, cin, cout]
+    out = gathered.transpose(0, 1, 2, 3, 4, 5, 9, 6, 7, 8, 10)
+    return out.reshape(3, 3, 3, NB * cin, NB * cout)
+
+
+def expand_down_kernel(k: jax.Array) -> jax.Array:
+    """Stride-2 2^3 conv kernel [2,2,2,C,O] -> 1^3 folded kernel
+    [1,1,1, 8C, O]: the Down conv consumes the folded rep directly."""
+    c, o = k.shape[3], k.shape[4]
+    out = k.transpose(0, 1, 2, 3, 4).reshape(NB * c, o)
+    return out.reshape(1, 1, 1, NB * c, o)
+
+
+def expand_up_kernel(k: jax.Array) -> jax.Array:
+    """Stride-2 2^3 flax-ConvTranspose kernel [2,2,2,C,O] -> 1^3 kernel
+    [1,1,1, C, 8O] emitting the folded high-res rep. flax's ConvTranspose
+    (transpose_kernel=False) reaches output 2p+δ with kernel tap 1-δ per
+    axis (validated in tests/test_s2d.py), hence the spatial flip."""
+    c, o = k.shape[3], k.shape[4]
+    kf = jnp.flip(k, axis=(0, 1, 2))
+    out = kf.reshape(NB, c, o).transpose(1, 0, 2)  # [C, 8, O]
+    return out.reshape(1, 1, 1, c, NB * o)
+
+
+def conv3_folded(xf: jax.Array, k: jax.Array, dtype=None) -> jax.Array:
+    """Folded-space equivalent of a 3^3 stride-1 SAME conv with original
+    kernel k [3,3,3,Cin,Cout]. xf: [B, D/2, H/2, W/2, 8*Cin]."""
+    kf = expand_kernel3_fast(k)
+    if dtype is not None:
+        kf = kf.astype(dtype)
+    return jax.lax.conv_general_dilated(
+        xf, kf, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def instance_norm_folded(xf: jax.Array, c: int, eps: float = 1e-5
+                         ) -> jax.Array:
+    """InstanceNorm over (spatial + in-block positions) per ORIGINAL
+    channel: identical statistics to unfolded instance_norm."""
+    b, d2, h2, w2, fc = xf.shape
+    x32 = xf.astype(jnp.float32).reshape(b, d2, h2, w2, NB, c)
+    mean = jnp.mean(x32, axis=(1, 2, 3, 4), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2, 3, 4), keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return out.reshape(xf.shape).astype(xf.dtype)
+
+
+def softmax_folded(xf: jax.Array, c: int) -> jax.Array:
+    """Softmax over the original class channel inside the folded rep."""
+    b, d2, h2, w2, fc = xf.shape
+    x32 = xf.astype(jnp.float32).reshape(b, d2, h2, w2, NB, c)
+    return jax.nn.softmax(x32, axis=-1).reshape(xf.shape)

@@ -139,7 +139,8 @@ def run(cfg: TargetConfig) -> float:
         model = Joint(n_class=n_class, dim=128, bottleneck=bott,
                       vae_forward_scale=cfg.vae_forward_scale,
                       vae_decoder_dropout=cfg.vae_decoder_dropout,
-                      seg_dropout=cfg.seg_dropout)
+                      seg_dropout=cfg.seg_dropout,
+                      composite_remat=cfg.vae_mont_number > 1)
         teacher = Joint(n_class=n_class, dim=128, bottleneck=bott)
         params = model.init(rngs, zero_img)["params"]
         teacher_params = jax.tree.map(jnp.copy, params)

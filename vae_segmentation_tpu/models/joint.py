@@ -44,12 +44,12 @@ class Joint(nn.Module):
     seg_dropout: float = 0.0
     dtype: Any = jnp.bfloat16
     bottleneck: int = 16384
-    # checkpoint the ENTIRE Seg and Vae forwards: the backward pass then
-    # holds only the 1 GB bf16 pred volume between the two networks instead
-    # of every stage boundary of both trunks — the final piece that fits the
-    # 128^3 batch-4 adaptation step in 16 GB HBM (one extra fwd of FLOPs on
-    # an MXU-underutilized trunk)
-    composite_remat: bool = True
+    # checkpoint the ENTIRE Seg and Vae forwards: backward then holds only
+    # the pred volume between the two networks. With bf16 probabilities +
+    # s2d the 128^3 batch-4 step fits WITHOUT this (852 ms vs 1207 ms with,
+    # 2026-08-16), so it defaults off; turn on for memory-heavier configs
+    # (vae_mont_number > 1 — the trainers do this automatically).
+    composite_remat: bool = False
 
     def setup(self):
         # static_argnums index (self, x, ...): the flag/rate args must be

@@ -65,6 +65,17 @@ def test_up_convtranspose_folded_exact(rng, x8):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fold_conv_fused_exact(rng, x8):
+    """conv3 then fold == one 4^3 stride-2 conv on the raw input."""
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)) * 0.3, jnp.float32)
+    want = s2d.fold(jax.lax.conv_general_dilated(
+        x8, k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")))
+    got = s2d.fold_conv(x8, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_instance_norm_folded_exact(rng, x8):
     from vae_segmentation_tpu.models.blocks import instance_norm
 
@@ -119,6 +130,46 @@ def test_vae_s2d_model_parity(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(r_on), np.asarray(r_off),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_adapt_step_folded_metric_parity(rng, monkeypatch):
+    """One full teacher-student adaptation step with the folded pipeline
+    (Joint folded_io + folded losses) must produce the same losses and
+    parameter updates as the unfolded one."""
+    monkeypatch.setenv("VAESEG_S2D", "1")
+    from vae_segmentation_tpu.models import Joint
+    from vae_segmentation_tpu.train import (AdaptConfig, default_sched,
+                                            init_state, make_adapt_step,
+                                            optim)
+
+    img = jnp.asarray(rng.normal(size=(1, 32, 32, 32)), jnp.float32)
+    lab = jnp.asarray(rng.random((1, 32, 32, 32)) > 0.8, jnp.float32)
+    kw = dict(n_class=2, dim=16, bottleneck=256, dtype=jnp.float32)
+    m_f = Joint(folded_io=True, **kw)
+    m_u = Joint(folded_io=False, **kw)
+    params = m_u.init({"params": jax.random.PRNGKey(0)},
+                      img[..., None])["params"]
+    tx = optim.freeze_vae(optim.sgd(1e-2), params)
+    sched = default_sched(1.0)
+    key = jax.random.PRNGKey(1)
+
+    outs = {}
+    for name, mdl, folded in (("fold", m_f, True), ("plain", m_u, False)):
+        cfg = AdaptConfig(n_class=2, domain_loss_type=8, folded=folded)
+        step = make_adapt_step(mdl, mdl, tx, cfg)
+        st = init_state(jax.tree.map(jnp.copy, params), tx)
+        teacher = jax.tree.map(jnp.copy, params)
+        st, metrics = step(st, teacher, img, lab, key, sched)
+        outs[name] = (st, metrics)
+
+    for k in ("recon_loss", "dice_loss_fake", "dice_loss", "final_loss"):
+        np.testing.assert_allclose(float(outs["fold"][1][k]),
+                                   float(outs["plain"][1][k]),
+                                   rtol=5e-4, atol=5e-5)
+    for a, b in zip(jax.tree.leaves(outs["fold"][0].params),
+                    jax.tree.leaves(outs["plain"][0].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-5)
 
 
 def test_grad_through_folded_conv(rng, x8):

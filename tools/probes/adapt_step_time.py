@@ -9,12 +9,14 @@ from vae_segmentation_tpu.models import Joint
 from vae_segmentation_tpu.train import (AdaptConfig, default_sched, init_state, make_adapt_step, optim)
 B,S = 4,128
 rng = np.random.default_rng(0)
-model = Joint(n_class=2, dim=128, vae_decoder_dropout=0.5)
+from vae_segmentation_tpu.models.blocks import use_s2d
+fold = use_s2d()
+model = Joint(n_class=2, dim=128, vae_decoder_dropout=0.5, folded_io=fold)
 img = jnp.asarray(rng.normal(size=(B,S,S,S)), jnp.float32)
 lab = jnp.asarray(rng.random((B,S,S,S))>0.9, jnp.float32)
 params = model.init({"params": jax.random.PRNGKey(0)}, img[:1,...,None])["params"]
 tx = optim.freeze_vae(optim.sgd(1e-3), params)
-step = make_adapt_step(model, model, tx, AdaptConfig(n_class=2, domain_loss_type=8))
+step = make_adapt_step(model, model, tx, AdaptConfig(n_class=2, domain_loss_type=8, folded=fold))
 teacher = jax.tree.map(jnp.copy, params)
 state = init_state(params, tx)
 sched = default_sched(1.0); key = jax.random.PRNGKey(1)

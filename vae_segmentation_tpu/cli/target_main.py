@@ -18,6 +18,7 @@ tree_map (train/ema.py), not the reference's host state_dict walk
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Dict, Optional
@@ -136,12 +137,18 @@ def run(cfg: TargetConfig) -> float:
         model = ShapeEncoder(dim=1, bottleneck=bott)
         params = model.init(rngs, zero_img)["params"]
     elif m == "domain_adaptation":
-        model = Joint(n_class=n_class, dim=128, bottleneck=bott,
-                      vae_forward_scale=cfg.vae_forward_scale,
+        from vae_segmentation_tpu.models.blocks import use_s2d
+        fold_active = use_s2d()
+        jkw = dict(n_class=n_class, dim=128, bottleneck=bott)
+        model = Joint(vae_forward_scale=cfg.vae_forward_scale,
                       vae_decoder_dropout=cfg.vae_decoder_dropout,
                       seg_dropout=cfg.seg_dropout,
-                      composite_remat=cfg.vae_mont_number > 1)
-        teacher = Joint(n_class=n_class, dim=128, bottleneck=bott)
+                      composite_remat=cfg.vae_mont_number > 1,
+                      folded_io=fold_active, **jkw)
+        # eval-facing views share the SAME param tree, unfolded outputs
+        model_eval = Joint(vae_forward_scale=cfg.vae_forward_scale, **jkw)
+        teacher = Joint(folded_io=fold_active, **jkw)
+        teacher_eval = Joint(**jkw)
         params = model.init(rngs, zero_img)["params"]
         teacher_params = jax.tree.map(jnp.copy, params)
     elif m == "domain_adaptation_dis":
@@ -231,17 +238,19 @@ def run(cfg: TargetConfig) -> float:
     elif m == "domain_adaptation":
         # --pseudo_list runs use the restricted loss subset of
         # main_target.py:642-653 for the target batch
+        acfg = dataclasses.replace(acfg, folded=fold_active)
         step = make_adapt_step(
             model, teacher, tx, acfg,
             variant="pseudo" if cfg.pseudo_list is not None else "train")
-        eval_step = make_joint_eval_step(model, n_class)
+        eval_step = make_joint_eval_step(model_eval, n_class)
         if cfg.val_finetune != 0:
             tx_ft = optim.freeze_vae(
                 optim.sgd(cfg.lr_finetune, momentum=0.0,
                           weight_decay=cfg.weight_decay), params)
             finetune_step = make_finetune_step(model, teacher, tx_ft, acfg)
         if cfg.analysis_figure_name is not None:
-            analysis_step = make_analysis_metrics_step(model, teacher, n_class)
+            analysis_step = make_analysis_metrics_step(model_eval,
+                                                       teacher_eval, n_class)
         if cfg.pseudo_list is not None:
             replay_step = make_seg_train_step(model_seg_view(model), tx,
                                               n_class)
@@ -364,7 +373,7 @@ def run(cfg: TargetConfig) -> float:
                 scores[vidx] = 1.0 - mse
         elif cfg.eval_mode == "sliding_window":
             if m == "domain_adaptation":
-                seg_apply = lambda p, x: model.apply(  # noqa: E731
+                seg_apply = lambda p, x: model_eval.apply(  # noqa: E731
                     {"params": p}, x, method=Joint.segment)
             else:
                 seg_apply = lambda p, x: model.apply(  # noqa: E731

@@ -58,7 +58,7 @@ def make_joint_eval_step(model, n_class: int, *, with_gt_recon: bool = False):
         if with_gt_recon:
             gt_recon, _, _ = model.apply(
                 {"params": params}, onehot,
-                method=lambda m, x: m.Vae(x, False, 0.0, False, 0.0))
+                method=lambda m, x: m.vae_forward(x, False, 0.0, False, 0.0))
             out["gt_recon"] = gt_recon
         return out
 
@@ -95,7 +95,7 @@ def make_analysis_metrics_step(model, teacher, n_class: int):
         pred, recon, _, _ = model.apply({"params": params}, img)
         gt_recon, _, _ = model.apply(
             {"params": params}, onehot,
-            method=lambda m, x: m.Vae(x, False, 0.0, False, 0.0))
+            method=lambda m, x: m.vae_forward(x, False, 0.0, False, 0.0))
         fake, fake_recon, _, _ = teacher.apply({"params": teacher_params}, img)
         n = n_class
         kw = dict(botindex=1, topindex=n)

@@ -180,7 +180,11 @@ class Conv3(nn.Module):
       'folded'       — 3^3 SAME stride-1 conv on the folded rep
                        [B, D/2, H/2, W/2, 8C] via expand_kernel3_fast;
       'fold_consume' — the stride-2 2^3 Down entry consuming a folded
-                       input as a 1^3 conv (emits unfolded).
+                       input as a 1^3 conv (emits unfolded);
+      'fold_input'   — 3^3 conv on a RAW input fused with the output fold
+                       (one 4^3 stride-2 conv, s2d.fold_conv) — the
+                       in_block entry, avoiding the full-res fold
+                       transpose.
     """
 
     features: int
@@ -215,10 +219,12 @@ class Conv3(nn.Module):
                 xd, s2d.expand_down_kernel(k).astype(self.dtype),
                 (1, 1, 1), "VALID",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        elif self.mode == "fold_input":
+            y = s2d.fold_conv(xd, k, dtype=self.dtype)
         else:
             raise ValueError(self.mode)
         bias = b.astype(self.dtype)
-        if self.mode == "folded":
+        if self.mode in ("folded", "fold_input"):
             bias = jnp.tile(bias, s2d.NB)
         return y + bias
 
@@ -264,13 +270,15 @@ class ConvNormAct(nn.Module):
     soft: bool = False
     dtype: Dtype = jnp.bfloat16
     folded: bool = False
+    fold_input: bool = False  # raw input, fused fold (s2d.fold_conv)
 
     @nn.compact
     def __call__(self, x):
-        mode = "folded" if self.folded else "normal"
+        mode = "fold_input" if self.fold_input else (
+            "folded" if self.folded else "normal")
         x = Conv3(self.features, dtype=self.dtype, mode=mode)(x)
-        return _norm_act(x, self.norm_type, self.soft,
-                         folded_c=self.features if self.folded else 0)
+        fc = self.features if (self.folded or self.fold_input) else 0
+        return _norm_act(x, self.norm_type, self.soft, folded_c=fc)
 
 
 class DoubleConv(nn.Module):

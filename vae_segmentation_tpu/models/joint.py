@@ -50,6 +50,15 @@ class Joint(nn.Module):
     # 2026-08-16), so it defaults off; turn on for memory-heavier configs
     # (vae_mont_number > 1 — the trainers do this automatically).
     composite_remat: bool = False
+    # return pred/recon in the space-to-depth rep (when s2d is active):
+    # the train steps keep the whole loss pipeline folded, skipping every
+    # full-resolution reorg. Eval-facing Joints leave this False.
+    folded_io: bool = False
+
+    def _fold_active(self) -> bool:
+        from vae_segmentation_tpu.models.blocks import use_s2d
+
+        return use_s2d() and self.norm_type == 1
 
     def setup(self):
         # static_argnums index (self, x, ...): the flag/rate args must be
@@ -58,11 +67,13 @@ class Joint(nn.Module):
             if self.composite_remat else SegUNet
         Vae = nn.remat(ShapeVAE, static_argnums=(2, 3, 4, 5)) \
             if self.composite_remat else ShapeVAE
+        fold = self._fold_active()
         self.Seg = Seg(n_class=self.n_class, norm_type=self.norm_type,
-                       fmaps=self.fmaps, dtype=self.dtype)
+                       fmaps=self.fmaps, dtype=self.dtype,
+                       folded_out=fold)
         self.Vae = Vae(n_class=self.n_class, norm_type=self.norm_type,
                        fmaps=self.fmaps, dim=self.dim, dtype=self.dtype,
-                       bottleneck=self.bottleneck)
+                       bottleneck=self.bottleneck, folded_io=fold)
 
     def __call__(self, image: jax.Array, dropout: bool = False):
         """image [B,D,H,W,1] -> (pred, recon, mean, std).
@@ -70,21 +81,52 @@ class Joint(nn.Module):
         dropout=True enables seg_dropout / vae_decoder_dropout (the MC branch,
         joint_model.py:447-451); mean/std are returned either way — the
         reference discards them in the dropout branch, which the trainers
-        reproduce by simply not using them.
+        reproduce by simply not using them. With folded_io, pred/recon come
+        back as s2d reps [B, D/2, H/2, W/2, 8*n_class].
         """
+        from vae_segmentation_tpu.ops import s2d
+
         pred = self.Seg(image, self.seg_dropout if dropout else 0.0)
         recon, mean, std = self.Vae(
             pred, False, self.vae_forward_scale, False,
             self.vae_decoder_dropout if dropout else 0.0)
+        if self._fold_active() and not self.folded_io:
+            pred, recon = s2d.unfold(pred), s2d.unfold(recon)
         return pred, recon, mean, std
 
     def segment(self, image: jax.Array, dropout: bool = False) -> jax.Array:
-        return self.Seg(image, self.seg_dropout if dropout else 0.0)
+        from vae_segmentation_tpu.ops import s2d
+
+        pred = self.Seg(image, self.seg_dropout if dropout else 0.0)
+        if self._fold_active() and not self.folded_io:
+            pred = s2d.unfold(pred)
+        return pred
+
+    def encode_pred(self, pred: jax.Array):
+        """VAE encode of a prediction in THIS Joint's output rep (folded
+        when folded_io) — the teacher KL path (train/steps.py)."""
+        from vae_segmentation_tpu.ops import s2d
+
+        if self._fold_active() and not self.folded_io:
+            pred = s2d.fold(pred)
+        return self.Vae.encode(pred)
 
     def vae_forward(self, x: jax.Array, if_random: bool = False,
                     scale: float = 0.0, mid_input: bool = False,
                     dropout: float = 0.0):
-        return self.Vae(x, if_random, scale, mid_input, dropout)
+        """Raw-in/raw-out VAE access (eval and analysis paths)."""
+        from vae_segmentation_tpu.ops import s2d
+
+        fold = self._fold_active()
+        if fold and not mid_input:
+            x = s2d.fold(x)
+        out = self.Vae(x, if_random, scale, mid_input, dropout)
+        if not fold:
+            return out
+        if mid_input:
+            return s2d.unfold(out)
+        recon, mean, std = out
+        return s2d.unfold(recon), mean, std
 
 
 class Joint2(nn.Module):

@@ -42,6 +42,10 @@ class SegUNet(nn.Module):
     # space-to-depth for the lane-starved stages (ops/s2d.py): exact same
     # math and SAME param tree; None -> models.blocks.use_s2d() default
     s2d: Any = None
+    # return space-to-depth probabilities [B, D/2, H/2, W/2, 8*n_class]
+    # instead of unfolding (the Joint handoff keeps everything folded,
+    # skipping three full-resolution reorgs per step)
+    folded_out: bool = False
 
     def _s2d(self) -> bool:
         from vae_segmentation_tpu.models.blocks import use_s2d
@@ -55,7 +59,7 @@ class SegUNet(nn.Module):
         RDown = remat_stage(Down, self.remat)
         RUp = remat_stage(Up, self.remat)
         kw = dict(norm_type=self.norm_type, dtype=self.dtype)
-        self.in_block = CNA(f[0], folded=fold, **kw)
+        self.in_block = CNA(f[0], fold_input=fold, **kw)
         self.down1 = RDown(f[1], folded_in=fold, folded_out=fold, **kw)
         self.down2 = RDown(f[2], folded_in=fold, **kw)
         self.down3 = RDown(f[3], **kw)
@@ -74,10 +78,8 @@ class SegUNet(nn.Module):
         def drop(h):
             return mc_dropout(self, h, dropout)
 
-        if fold:
-            x = s2d_ops.fold(x)
-        x1 = self.in_block(x)
-        x2 = self.down1(x1)   # folded rep at half res when fold
+        x1 = self.in_block(x)  # fold fused into the entry conv when fold
+        x2 = self.down1(x1)    # folded rep at half res when fold
         x3 = self.down2(x2)
         x4 = self.down3(x3)
         x5 = self.down4(x4)
@@ -90,6 +92,6 @@ class SegUNet(nn.Module):
         # f32 probability volume is 2 GB at 128^3 batch 4 (HBM-decisive)
         if fold:
             h = s2d_ops.softmax_folded(h, self.n_class).astype(self.dtype)
-            return s2d_ops.unfold(h)
+            return h if self.folded_out else s2d_ops.unfold(h)
         return jax.nn.softmax(h.astype(jnp.float32), axis=-1) \
             .astype(self.dtype)

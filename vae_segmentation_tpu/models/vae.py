@@ -64,6 +64,9 @@ class ShapeVAE(nn.Module):
     # space-to-depth for the lane-starved stages (ops/s2d.py); None ->
     # models.blocks.use_s2d() default. Exact math, identical param tree.
     s2d: Any = None
+    # folded_io: __call__/encode take an ALREADY-FOLDED mask and decode
+    # returns folded probabilities — the Joint handoff (models/joint.py)
+    folded_io: bool = False
 
     def _s2d(self) -> bool:
         from vae_segmentation_tpu.models.blocks import use_s2d
@@ -77,7 +80,8 @@ class ShapeVAE(nn.Module):
         RDown = remat_stage(Down, self.remat)
         RUp = remat_stage(Up, self.remat)
         kw = dict(norm_type=self.norm_type, soft=self.soft, dtype=self.dtype)
-        self.in_block = CNA(f[0], folded=fold, **kw)
+        self.in_block = CNA(f[0], folded=fold and self.folded_io,
+                            fold_input=fold and not self.folded_io, **kw)
         self.down1 = RDown(f[1], folded_in=fold, folded_out=fold, **kw)
         self.down2 = RDown(f[2], folded_in=fold, **kw)
         self.down3 = RDown(f[3], **kw)
@@ -94,11 +98,9 @@ class ShapeVAE(nn.Module):
         self.out_block = OutConv(self.n_class, dtype=self.dtype, folded=fold)
 
     def encode(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        """One-hot mask -> (mean, std), std >= 0 (joint_model.py:235-243)."""
-        from vae_segmentation_tpu.ops import s2d as s2d_ops
-
-        if self._s2d() and self.norm_type == 1:
-            x = s2d_ops.fold(x)
+        """One-hot mask -> (mean, std), std >= 0 (joint_model.py:235-243).
+        With folded_io the input is already the s2d rep; otherwise the fold
+        is fused into the entry conv."""
         x = self.in_block(x)
         x = self.down1(x)
         x = self.down2(x)
@@ -127,7 +129,7 @@ class ShapeVAE(nn.Module):
         # 128^3 batch 4 per probability volume)
         if fold:
             x = s2d_ops.softmax_folded(x, self.n_class).astype(self.dtype)
-            return s2d_ops.unfold(x)
+            return x if self.folded_io else s2d_ops.unfold(x)
         return jax.nn.softmax(x, axis=-1).astype(self.dtype)
 
     def __call__(self, x: jax.Array, if_random: bool = False, scale: float = 1.0,

@@ -30,6 +30,13 @@ SOURCE_EPS = 1e-4
 _SPATIAL = (1, 2, 3)  # D, H, W axes of a [B, D, H, W, C] tensor
 
 
+def _reduce_axes(x: jax.Array):
+    """All axes except batch (0) and class (last) — so the same losses work
+    on [B, D, H, W, C] and on space-to-depth 6D views
+    [B, D/2, H/2, W/2, 8, C] (ops/s2d.py; dice sums are fold-invariant)."""
+    return tuple(range(1, x.ndim - 1))
+
+
 def dice(a: jax.Array, b: jax.Array, eps: float = 1e-6) -> jax.Array:
     """Global soft Dice over all elements (utils/evaluation.py:6-7).
     f32 accumulation without materializing f32 copies of the inputs."""
@@ -69,9 +76,10 @@ def soft_dice_per_class(source: jax.Array, target: jax.Array,
 
     f32 accumulation (dtype=... on the reduces) over possibly-bf16 inputs —
     no full-resolution f32 temporaries."""
-    inter = jnp.sum(source * target, _SPATIAL, dtype=jnp.float32)
-    denom = jnp.sum(source, _SPATIAL, dtype=jnp.float32) \
-        + jnp.sum(target, _SPATIAL, dtype=jnp.float32)
+    ax = _reduce_axes(source)
+    inter = jnp.sum(source * target, ax, dtype=jnp.float32)
+    denom = jnp.sum(source, ax, dtype=jnp.float32) \
+        + jnp.sum(target, ax, dtype=jnp.float32)
     return 2.0 * inter / (denom + eps)
 
 

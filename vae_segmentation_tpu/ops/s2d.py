@@ -127,6 +127,42 @@ def expand_kernel3_fast(k: jax.Array) -> jax.Array:
     return out.reshape(3, 3, 3, NB * cin, NB * cout)
 
 
+def expand_fold_conv_kernel(k: jax.Array) -> jax.Array:
+    """3^3 stride-1 SAME conv FUSED with the input fold: a 4^3 stride-2
+    conv on the RAW [B, D, H, W, C] input emitting the folded half-res rep
+    directly — y_folded[p, (δ,o)] = Σ_u x[2p+u]·k[u-δ+1], u ∈ {-1..2}
+    (asymmetric pad (1, 2) per axis). Kills the fold transpose of the
+    full-res input (the in_block hot path)."""
+    cin, cout = k.shape[3], k.shape[4]
+    # per axis: tap index t = u - δ + 1 valid in {0,1,2}
+    outj = jnp.zeros((4, 4, 4, cin, NB * cout), k.dtype)
+    for ud in range(-1, 3):
+        for uh in range(-1, 3):
+            for uw in range(-1, 3):
+                for dd in range(F):
+                    for dh in range(F):
+                        for dw in range(F):
+                            td, th, tw = ud - dd + 1, uh - dh + 1, uw - dw + 1
+                            if not all(0 <= t <= 2 for t in (td, th, tw)):
+                                continue
+                            # folded out-channel block (δ-major)
+                            fo = ((dd * F + dh) * F + dw) * cout
+                            outj = outj.at[
+                                ud + 1, uh + 1, uw + 1, :, fo:fo + cout
+                            ].add(k[td, th, tw])
+    return outj
+
+
+def fold_conv(x: jax.Array, k: jax.Array, dtype=None) -> jax.Array:
+    """conv3^3(x) followed by fold, as ONE stride-2 4^3 conv on raw x."""
+    kf = expand_fold_conv_kernel(k)
+    if dtype is not None:
+        kf = kf.astype(dtype)
+    return jax.lax.conv_general_dilated(
+        x, kf, (2, 2, 2), [(1, 2), (1, 2), (1, 2)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
 def expand_down_kernel(k: jax.Array) -> jax.Array:
     """Stride-2 2^3 conv kernel [2,2,2,C,O] -> 1^3 folded kernel
     [1,1,1, 8C, O]: the Down conv consumes the folded rep directly."""

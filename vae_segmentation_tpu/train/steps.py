@@ -36,6 +36,23 @@ from flax import struct
 
 from vae_segmentation_tpu.models.joint import Joint, Joint2
 from vae_segmentation_tpu.ops import losses as L
+from vae_segmentation_tpu.ops import s2d
+
+
+def _folded_onehot(label: jax.Array, n_class: int) -> jax.Array:
+    """fold(one_hot(label)) computed the cheap way: fold the integer label
+    volume (33 MB, not the 1 GB one-hot) then one-hot into a 6D view
+    [B, D/2, H/2, W/2, 8, C]."""
+    lab_f = s2d.fold(label[..., None])  # [B, D/2, H/2, W/2, 8]
+    return jax.nn.one_hot(lab_f.astype(jnp.int32), n_class,
+                          dtype=jnp.bfloat16)
+
+
+def _classes_view(x: jax.Array, n_class: int, folded: bool) -> jax.Array:
+    """Model output -> loss view: folded [*, 8C] -> 6D [*, 8, C]."""
+    if folded:
+        return x.reshape(*x.shape[:-1], s2d.NB, n_class)
+    return x
 
 
 @struct.dataclass
@@ -161,6 +178,10 @@ class AdaptConfig:
     # dict for the TB image grid (main_target.py:538-541); off by default —
     # it is a device->host transfer per display step
     return_display: bool = False
+    # the models exchange space-to-depth tensors (Joint folded_io=True):
+    # labels are folded on device and every loss runs on the folded rep —
+    # dice sums are fold-invariant, so the numbers are identical
+    folded: bool = False
 
 
 def _bucket_lambda(recon_loss, lambda_vae):
@@ -259,8 +280,7 @@ def _teacher_forward(teacher: Joint, teacher_params, img, need_kl: bool):
                            method=Joint.segment)
     if need_kl:
         t_mean, t_std = teacher.apply(
-            {"params": teacher_params}, t_pred,
-            method=lambda m, x: m.Vae.encode(x))
+            {"params": teacher_params}, t_pred, method=Joint.encode_pred)
     else:
         t_mean = t_std = jnp.zeros((img.shape[0], 1), jnp.float32)
     return t_pred, t_mean, t_std
@@ -273,15 +293,19 @@ def _student_mc_losses(model: Joint, params, img, onehot, pseudo, klv,
     n = cfg.n_class
     tot_recon = tot_fake = tot_dsc = tot_final = 0.0
     display = None
+    onehot_v = onehot if cfg.folded else _classes_view(onehot, n, False)
+    pseudo_v = _classes_view(pseudo, n, cfg.folded)
     for i in range(cfg.vae_mont_number):
         sub = jax.random.fold_in(key, i)
         k_rep, k_drop = jax.random.split(sub)
         pred, recon, _, _ = model.apply(
             {"params": params}, img, dropout=True,
             rngs={"reparam": k_rep, "dropout": k_drop})
-        recon_loss = 1.0 - L.avg_dsc(pred, recon, botindex=1, topindex=n)
-        fake_loss = 1.0 - L.avg_dsc(pred, pseudo, botindex=1, topindex=n)
-        dsc_loss = 1.0 - L.avg_dsc(pred, onehot, botindex=1, topindex=n)
+        pred_v = _classes_view(pred, n, cfg.folded)
+        recon_v = _classes_view(recon, n, cfg.folded)
+        recon_loss = 1.0 - L.avg_dsc(pred_v, recon_v, botindex=1, topindex=n)
+        fake_loss = 1.0 - L.avg_dsc(pred_v, pseudo_v, botindex=1, topindex=n)
+        dsc_loss = 1.0 - L.avg_dsc(pred_v, onehot_v, botindex=1, topindex=n)
         pred_sq = jnp.mean(jnp.square(pred)) if cfg.domain_loss_type == 10 \
             else jnp.float32(0.0)
         final = adapt_loss(recon_loss, fake_loss, klv, pred_sq, cfg, sched,
@@ -293,10 +317,18 @@ def _student_mc_losses(model: Joint, params, img, onehot, pseudo, klv,
         if cfg.return_display:
             # recon/gt/pred/pseudo mid-W slices of sample 0, class 1
             # (main_target.py:538-541 panel layout)
-            w2 = pred.shape[3] // 2
+            if cfg.folded:
+                pred_d, recon_d, pseudo_d = (s2d.unfold(t) for t in
+                                             (pred, recon, pseudo))
+                onehot_d = s2d.unfold(
+                    onehot.reshape(*onehot.shape[:4], -1))
+            else:
+                pred_d, recon_d, pseudo_d, onehot_d = (pred, recon, pseudo,
+                                                       onehot)
+            w2 = pred_d.shape[3] // 2
             display = jax.lax.stop_gradient(jnp.stack([
-                recon[0, :, :, w2, 1], onehot[0, :, :, w2, 1],
-                pred[0, :, :, w2, 1], pseudo[0, :, :, w2, 1],
+                recon_d[0, :, :, w2, 1], onehot_d[0, :, :, w2, 1],
+                pred_d[0, :, :, w2, 1], pseudo_d[0, :, :, w2, 1],
             ]).astype(jnp.float32))
     m = cfg.vae_mont_number
     aux = {"recon_loss": tot_recon / m, "dice_loss_fake": tot_fake / m,
@@ -318,7 +350,8 @@ def make_adapt_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig, *,
     def step(state: TrainState, teacher_params, image, label, key,
              sched: Dict[str, jax.Array]):
         img = image[..., None]
-        onehot = L.one_hot_label(label, cfg.n_class)
+        onehot = _folded_onehot(label, cfg.n_class) if cfg.folded \
+            else L.one_hot_label(label, cfg.n_class)
         t_pred, t_mean, t_std = _teacher_forward(teacher, teacher_params, img,
                                                  cfg.kl)
         pseudo = L.confident_binarize(t_pred) if cfg.use_confident_binarize \

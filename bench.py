@@ -56,14 +56,18 @@ ITERS = 10
 
 def build():
     from vae_segmentation_tpu.models import Joint
+    from vae_segmentation_tpu.models.blocks import use_s2d
     from vae_segmentation_tpu.train import (
         AdaptConfig, default_sched, init_state, make_adapt_step, optim)
 
-    model = Joint(n_class=2, dim=128, vae_decoder_dropout=0.5)
+    fold = use_s2d()  # the trainer-equivalent folded pipeline on TPU
+    model = Joint(n_class=2, dim=128, vae_decoder_dropout=0.5,
+                  folded_io=fold)
     init_img = jnp.zeros((1, SIDE, SIDE, SIDE, 1), jnp.float32)
     params = model.init({"params": jax.random.PRNGKey(0)}, init_img)["params"]
     tx = optim.freeze_vae(optim.sgd(1e-3), params)
-    cfg = AdaptConfig(n_class=2, domain_loss_type=8, vae_mont_number=1)
+    cfg = AdaptConfig(n_class=2, domain_loss_type=8, vae_mont_number=1,
+                      folded=fold)
     step = make_adapt_step(model, model, tx, cfg)
 
     teacher = jax.tree.map(jnp.copy, params)

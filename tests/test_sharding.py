@@ -70,6 +70,26 @@ def test_sharded_seg_train_step_matches_single_device():
                                    atol=1e-6)
 
 
+def test_sharded_seg_step_with_s2d(monkeypatch):
+    """The space-to-depth path must compile and run under DP sharding (the
+    fold reshape crosses the batch-sharded leading dims only trivially)."""
+    monkeypatch.setenv("VAESEG_S2D", "1")
+    model = SegUNet(n_class=2, fmaps=FMAPS, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(8, 32, 32, 32)).astype(np.float32)
+    lab = (rng.random((8, 32, 32, 32)) > 0.5).astype(np.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.asarray(img)[..., None])["params"]
+    tx = optim.sgd(0.1)
+    step = make_seg_train_step(model, tx, n_class=2)
+    mesh = parallel.make_mesh()
+    sh = parallel.batch_sharding(mesh)
+    s8 = init_state(parallel.replicate_params(
+        mesh, jax.tree.map(jnp.array, params)), tx)
+    s8, m8 = step(s8, jax.device_put(img, sh), jax.device_put(lab, sh))
+    assert np.isfinite(float(m8["dice_loss"]))
+
+
 def test_spatial_sharding_conv_forward():
     """Shard the volume's D axis over 'spatial': XLA inserts the halo
     exchanges for the 3^3 convs; result must equal the unsharded forward."""

@@ -1,0 +1,229 @@
+// Native case loader for the merge.npy data contract.
+//
+// The reference feeds its trainers through 16 forked torch DataLoader
+// workers (main_source.py:237); this is the TPU-framework counterpart: a
+// C++ thread pool that mmaps merge.npy cases, splits image/label channels,
+// remaps raw labels to class ids (NumpyLoader_Multi_merge semantics,
+// utils/utils.py:366-374) and fills caller-provided float32 buffers —
+// fully off the Python GIL. Exposed over a plain C ABI consumed with
+// ctypes (vae_segmentation_tpu/data/native_loader.py); the Python path
+// remains the fallback when the shared object is absent.
+//
+// Scope: the npy subset our preprocessing writes — little-endian
+// C-contiguous '<i2' / '<f4' / '<i1', v1.0/2.0 headers.
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC, pthreads)
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+struct NpyInfo {
+  size_t data_offset = 0;
+  char dtype = 0;        // 'h' int16, 'f' float32, 'b' int8
+  size_t elem_size = 0;
+  std::vector<size_t> shape;
+};
+
+// Minimal .npy header parser (v1.x/2.x, little-endian, C order).
+bool parse_npy_header(const unsigned char* buf, size_t len, NpyInfo* out) {
+  if (len < 10 || std::memcmp(buf, "\x93NUMPY", 6) != 0) return false;
+  const int major = buf[6];
+  size_t hlen, hoff;
+  if (major == 1) {
+    hlen = buf[8] | (buf[9] << 8);
+    hoff = 10;
+  } else {
+    hlen = buf[8] | (buf[9] << 8) | (buf[10] << 16) |
+           (static_cast<size_t>(buf[11]) << 24);
+    hoff = 12;
+  }
+  if (hoff + hlen > len) return false;
+  std::string hdr(reinterpret_cast<const char*>(buf + hoff), hlen);
+  if (hdr.find("'fortran_order': False") == std::string::npos) return false;
+  size_t dt = hdr.find("'descr':");
+  if (dt == std::string::npos) return false;
+  size_t q1 = hdr.find('\'', dt + 8);
+  size_t q2 = hdr.find('\'', q1 + 1);
+  std::string descr = hdr.substr(q1 + 1, q2 - q1 - 1);
+  if (descr == "<i2") { out->dtype = 'h'; out->elem_size = 2; }
+  else if (descr == "<f4") { out->dtype = 'f'; out->elem_size = 4; }
+  else if (descr == "|i1" || descr == "<i1") { out->dtype = 'b'; out->elem_size = 1; }
+  else return false;
+  size_t sp = hdr.find("'shape':");
+  if (sp == std::string::npos) return false;
+  size_t p1 = hdr.find('(', sp);
+  size_t p2 = hdr.find(')', p1);
+  std::string dims = hdr.substr(p1 + 1, p2 - p1 - 1);
+  size_t pos = 0;
+  out->shape.clear();
+  while (pos < dims.size()) {
+    while (pos < dims.size() && (dims[pos] == ' ' || dims[pos] == ',')) pos++;
+    if (pos >= dims.size()) break;
+    out->shape.push_back(std::strtoull(dims.c_str() + pos, nullptr, 10));
+    while (pos < dims.size() && dims[pos] != ',') pos++;
+  }
+  out->data_offset = hoff + hlen;
+  return true;
+}
+
+template <typename T>
+void split_and_remap(const T* merge, size_t voxels, const int32_t* raw_labels,
+                     const int32_t* class_ids, int n_map, float* img_out,
+                     float* lab_out) {
+  // merge layout: [..., 2] channel-last (data_process.py:75)
+  for (size_t i = 0; i < voxels; ++i) {
+    img_out[i] = static_cast<float>(merge[2 * i]);
+    const int32_t raw = static_cast<int32_t>(merge[2 * i + 1]);
+    float cls = 0.0f;
+    for (int m = 0; m < n_map; ++m) {
+      if (raw_labels[m] == raw) { cls = static_cast<float>(class_ids[m]); break; }
+    }
+    lab_out[i] = cls;
+  }
+}
+
+struct Pool {
+  std::vector<std::thread> workers;
+  std::queue<std::function<void()>> q;
+  std::mutex mu;
+  std::condition_variable cv;
+  std::atomic<bool> stop{false};
+
+  explicit Pool(int n) {
+    for (int i = 0; i < n; ++i)
+      workers.emplace_back([this] {
+        for (;;) {
+          std::function<void()> job;
+          {
+            std::unique_lock<std::mutex> lk(mu);
+            cv.wait(lk, [this] { return stop || !q.empty(); });
+            if (stop && q.empty()) return;
+            job = std::move(q.front());
+            q.pop();
+          }
+          job();
+        }
+      });
+  }
+  ~Pool() {
+    stop = true;
+    cv.notify_all();
+    for (auto& w : workers) w.join();
+  }
+  void submit(std::function<void()> f) {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      q.push(std::move(f));
+    }
+    cv.notify_one();
+  }
+};
+
+Pool* g_pool = nullptr;
+
+int load_one(const char* path, const int32_t* raw_labels,
+             const int32_t* class_ids, int n_map, float* img_out,
+             float* lab_out, int64_t* shape_out) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0) { close(fd); return -2; }
+  void* mem = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (mem == MAP_FAILED) return -3;
+  NpyInfo info;
+  int rc = 0;
+  if (!parse_npy_header(static_cast<const unsigned char*>(mem), st.st_size,
+                        &info) ||
+      info.shape.size() != 4 || info.shape[3] != 2) {
+    rc = -4;
+  } else {
+    const size_t voxels = info.shape[0] * info.shape[1] * info.shape[2];
+    const void* data = static_cast<const char*>(mem) + info.data_offset;
+    for (int i = 0; i < 3; ++i) shape_out[i] = info.shape[i];
+    if (info.dtype == 'h')
+      split_and_remap(static_cast<const int16_t*>(data), voxels, raw_labels,
+                      class_ids, n_map, img_out, lab_out);
+    else if (info.dtype == 'f')
+      split_and_remap(static_cast<const float*>(data), voxels, raw_labels,
+                      class_ids, n_map, img_out, lab_out);
+    else
+      rc = -5;
+  }
+  munmap(mem, st.st_size);
+  return rc;
+}
+
+}  // namespace
+
+extern "C" {
+
+void vaeseg_init_pool(int n_threads) {
+  if (!g_pool) g_pool = new Pool(n_threads > 0 ? n_threads : 4);
+}
+
+// Peek a case's volume shape (so the caller can size buffers).
+int vaeseg_case_shape(const char* path, int64_t* shape_out) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  unsigned char head[4096];
+  ssize_t n = read(fd, head, sizeof(head));
+  close(fd);
+  NpyInfo info;
+  if (n <= 0 || !parse_npy_header(head, static_cast<size_t>(n), &info) ||
+      info.shape.size() != 4)
+    return -4;
+  for (int i = 0; i < 3; ++i) shape_out[i] = static_cast<int64_t>(info.shape[i]);
+  return 0;
+}
+
+// Synchronous single-case load (image/label split + label remap).
+int vaeseg_load_case(const char* path, const int32_t* raw_labels,
+                     const int32_t* class_ids, int n_map, float* img_out,
+                     float* lab_out, int64_t* shape_out) {
+  return load_one(path, raw_labels, class_ids, n_map, img_out, lab_out,
+                  shape_out);
+}
+
+// Async batch: fire one pool job per case; poll *done_counter (int32,
+// incremented per finished case; negative rc values are OR-ed into *status).
+void vaeseg_load_batch_async(const char** paths, int n_cases,
+                             const int32_t* raw_labels,
+                             const int32_t* class_ids, int n_map,
+                             float** img_outs, float** lab_outs,
+                             int64_t* shapes_out, int32_t* done_counter,
+                             int32_t* status) {
+  if (!g_pool) vaeseg_init_pool(0);
+  for (int i = 0; i < n_cases; ++i) {
+    std::string path(paths[i]);
+    float* img = img_outs[i];
+    float* lab = lab_outs[i];
+    int64_t* shp = shapes_out + 3 * i;
+    g_pool->submit([path, raw_labels, class_ids, n_map, img, lab, shp,
+                    done_counter, status] {
+      int rc = load_one(path.c_str(), raw_labels, class_ids, n_map, img, lab,
+                        shp);
+      if (rc != 0)
+        __atomic_fetch_or(status, 1, __ATOMIC_SEQ_CST);
+      __atomic_fetch_add(done_counter, 1, __ATOMIC_SEQ_CST);
+    });
+  }
+}
+
+}  // extern "C"

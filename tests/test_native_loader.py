@@ -1,0 +1,62 @@
+"""Native C++ case loader (native/fastloader.cpp) vs the numpy path."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from vae_segmentation_tpu.data import native_loader
+from vae_segmentation_tpu.data.transforms import (
+    load_merge_case, parse_pan_index, remap_labels)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def built():
+    so = os.path.join(REPO, "native", "libvaeseg_fastloader.so")
+    if not os.path.exists(so):
+        rc = subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                            capture_output=True)
+        if rc.returncode != 0:
+            pytest.skip("native toolchain unavailable")
+    if not native_loader.available():
+        pytest.skip("native loader not loadable")
+    return True
+
+
+def _write_case(tmp_path, rng, labels=(0, 1, 2, 11)):
+    img = (rng.normal(0, 300, (12, 10, 14)) ).astype(np.int16)
+    lab = rng.choice(labels, (12, 10, 14)).astype(np.int16)
+    case = tmp_path / "case0042"
+    case.mkdir()
+    np.save(case / "merge.npy", np.stack([img, lab], -1).astype(np.int16))
+    return img, lab
+
+
+@pytest.mark.parametrize("pan_index", ["1", "10", "11", "1,2"])
+def test_native_matches_numpy(built, tmp_path, rng, pan_index):
+    img, lab = _write_case(tmp_path, rng)
+    mask_index = parse_pan_index(pan_index)
+    got = native_loader.load_case(
+        str(tmp_path / "case0042" / "merge.npy"), mask_index)
+    assert got is not None
+    np.testing.assert_array_equal(got["image"], img.astype(np.float32))
+    np.testing.assert_array_equal(got["label"],
+                                  remap_labels(lab, mask_index))
+
+
+def test_load_merge_case_roundtrip_uses_native(built, tmp_path, rng):
+    _write_case(tmp_path, rng)
+    out = load_merge_case(str(tmp_path), "case0042/merge.npy",
+                          parse_pan_index("10"))
+    assert out["id"] == "0042"
+    assert out["image"].dtype == np.float32
+    ref = load_merge_case(str(tmp_path), "case0042/merge.npy", None)
+    np.testing.assert_array_equal(out["image"], ref["image"])
+
+
+def test_native_missing_file_falls_back(built, tmp_path):
+    assert native_loader.load_case(str(tmp_path / "nope.npy"),
+                                   [[0, 0], [1, 1]]) is None

@@ -1,0 +1,101 @@
+"""ctypes bindings for the native case loader (native/fastloader.cpp).
+
+The reference's IO runs in 16 forked torch DataLoader workers
+(main_source.py:237); here a C++ pthread pool mmaps merge.npy cases and
+does the channel split + label remap (NumpyLoader_Multi_merge semantics,
+utils/utils.py:366-374) off the GIL. `load_case` is the synchronous entry
+used by CaseDataset when the shared object is available; everything falls
+back to the numpy path transparently otherwise.
+
+Build once per machine:  make -C native
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native",
+    "libvaeseg_fastloader.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _get_lib():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.vaeseg_init_pool.argtypes = [ctypes.c_int]
+        lib.vaeseg_case_shape.argtypes = [ctypes.c_char_p,
+                                          ctypes.POINTER(ctypes.c_int64)]
+        lib.vaeseg_case_shape.restype = ctypes.c_int
+        lib.vaeseg_load_case.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.vaeseg_load_case.restype = ctypes.c_int
+        lib.vaeseg_init_pool(int(os.environ.get("VAESEG_LOADER_THREADS",
+                                                "8")))
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def _mask_arrays(mask_index) -> Tuple[np.ndarray, np.ndarray]:
+    """[[raw(s), cls], ...] -> flat (raw_labels, class_ids) int32 arrays."""
+    raws, clss = [], []
+    for entry in mask_index or []:
+        raw_labels, cls = entry
+        if not isinstance(raw_labels, list):
+            raw_labels = [raw_labels]
+        for r in raw_labels:
+            raws.append(int(r))
+            clss.append(int(cls))
+    return (np.asarray(raws, np.int32), np.asarray(clss, np.int32))
+
+
+def load_case(path: str, mask_index) -> Optional[Dict[str, np.ndarray]]:
+    """merge.npy -> {'image' f32, 'label' f32} via the native loader, or
+    None when unavailable / unsupported (caller falls back to numpy)."""
+    lib = _get_lib()
+    if lib is None or mask_index is None:
+        return None
+    shape = (ctypes.c_int64 * 3)()
+    if lib.vaeseg_case_shape(path.encode(), shape) != 0:
+        return None
+    d, h, w = int(shape[0]), int(shape[1]), int(shape[2])
+    img = np.empty((d, h, w), np.float32)
+    lab = np.empty((d, h, w), np.float32)
+    raws, clss = _mask_arrays(mask_index)
+    rc = lib.vaeseg_load_case(
+        path.encode(),
+        raws.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        clss.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(raws),
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        shape)
+    if rc != 0:
+        return None
+    return {"image": img, "label": lab}

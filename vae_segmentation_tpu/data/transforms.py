@@ -53,8 +53,19 @@ def load_merge_case(root_dir: str, entry: str,
                     mask_index: Optional[MaskIndex] = None,
                     load_pred: bool = False) -> Dict[str, np.ndarray]:
     """Load <root>/<case>/merge.npy: channel 0 image, channel 1 raw label
-    (utils/utils.py:347-383). Returns {'id', 'image', 'label'[, 'pred']}."""
-    merge = np.load(os.path.join(root_dir, entry))
+    (utils/utils.py:347-383). Returns {'id', 'image', 'label'[, 'pred']}.
+
+    Uses the native C++ loader (native/fastloader.cpp: mmap + off-GIL
+    channel split + label remap) when built; numpy otherwise."""
+    path = os.path.join(root_dir, entry)
+    if not load_pred and mask_index is not None:
+        from vae_segmentation_tpu.data import native_loader
+
+        native = native_loader.load_case(path, mask_index)
+        if native is not None:
+            native["id"] = case_id(entry)
+            return native
+    merge = np.load(path)
     out = {
         "id": case_id(entry),
         "image": merge[..., 0].astype(np.float32),

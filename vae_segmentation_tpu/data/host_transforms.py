@@ -144,6 +144,40 @@ class ReadNPY(BaseTransform):
         return out
 
 
+class NiiLoader(BaseTransform):
+    """utils/utils.py:126-152 capability: load NIfTI volumes into fields.
+    The reference used SimpleITK; this uses nibabel (the same library the
+    preprocessing CLI depends on), imported lazily so the pure-npy pipeline
+    has no NIfTI dependency."""
+
+    def __init__(self, fields, root_dir="/", dtype=np.float32,
+                 load_mask=False):
+        super().__init__(fields)
+        self.root_dir = root_dir
+        self.dtype = dtype
+        self.load_mask = load_mask
+
+    def __call__(self, entry) -> Dict:
+        import os
+
+        import nibabel as nib
+
+        out: Dict = dict(entry) if isinstance(entry, dict) else {}
+        paths = entry if isinstance(entry, dict) else {f: entry
+                                                       for f in self.fields}
+        for f in self.fields:
+            img = nib.load(os.path.join(self.root_dir, paths[f]))
+            out[f] = np.asarray(img.dataobj).astype(self.dtype)
+            out[f + "_affine"] = np.asarray(img.affine)
+            if self.load_mask and isinstance(entry, dict) \
+                    and entry.get(f + "_label"):
+                lab = nib.load(os.path.join(self.root_dir,
+                                            entry[f + "_label"]))
+                out[f + "_pancreas"] = np.asarray(lab.dataobj) \
+                    .astype(self.dtype)
+        return out
+
+
 class CopyField(BaseTransform):
     """utils/utils.py:102-123."""
 

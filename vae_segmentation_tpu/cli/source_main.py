@@ -117,6 +117,8 @@ def _load_params(cfg: SourceConfig, params, ref_vae_params):
 
 def run(cfg: SourceConfig) -> float:
     np.random.seed(cfg.seed)
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     n_class = common.n_classes(cfg)
     mesh = common.make_mesh_if_multichip(cfg)
     runner = common.EpochRunner(cfg)

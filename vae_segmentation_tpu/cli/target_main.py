@@ -99,6 +99,8 @@ def _epoch_sched(cfg: TargetConfig, epoch: int, lambda_vae: float):
 
 def run(cfg: TargetConfig) -> float:
     np.random.seed(cfg.seed)
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     n_class = common.n_classes(cfg)
     mesh = common.make_mesh_if_multichip(cfg)
     runner = common.EpochRunner(cfg)

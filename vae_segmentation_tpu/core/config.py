@@ -63,6 +63,7 @@ class CommonConfig:
     save_root: str = "3dmodel"
     eval_mode: str = "crop"
     sw_overlap: float = 0.5
+    debug_nans: bool = False
 
     # reference constant, overridable for small-scale tests (must be a
     # multiple of 32: the VAE trunk has 5 stride-2 stages)
@@ -200,6 +201,9 @@ def _add_common(p: argparse.ArgumentParser):
                         "sliding_window: full-volume patch inference with "
                         "on-device stitching (framework extension)")
     p.add_argument("--sw_overlap", type=float, default=0.5)
+    p.add_argument("--debug_nans", action="store_true",
+                   help="jax.config jax_debug_nans (SURVEY.md section 5.2: "
+                        "the TPU-world replacement for runtime sanitizers)")
 
 
 def _ns_to_cfg(ns: argparse.Namespace, cls):

@@ -153,6 +153,8 @@ def test_adapt_step_folded_metric_parity(rng, monkeypatch):
     sched = default_sched(1.0)
     key = jax.random.PRNGKey(1)
 
+    from vae_segmentation_tpu.train import make_finetune_step
+
     outs = {}
     for name, mdl, folded in (("fold", m_f, True), ("plain", m_u, False)):
         cfg = AdaptConfig(n_class=2, domain_loss_type=8, folded=folded)
@@ -160,9 +162,16 @@ def test_adapt_step_folded_metric_parity(rng, monkeypatch):
         st = init_state(jax.tree.map(jnp.copy, params), tx)
         teacher = jax.tree.map(jnp.copy, params)
         st, metrics = step(st, teacher, img, lab, key, sched)
+        # the ft1 inner step must accept the same folded pipeline
+        ft = make_finetune_step(mdl, mdl, tx, cfg)
+        _, ft_metrics = ft(init_state(jax.tree.map(jnp.copy, params), tx),
+                           teacher, img, lab, key, sched)
+        metrics = dict(metrics,
+                       ft_final=ft_metrics["final_loss"])
         outs[name] = (st, metrics)
 
-    for k in ("recon_loss", "dice_loss_fake", "dice_loss", "final_loss"):
+    for k in ("recon_loss", "dice_loss_fake", "dice_loss", "final_loss",
+              "ft_final"):
         np.testing.assert_allclose(float(outs["fold"][1][k]),
                                    float(outs["plain"][1][k]),
                                    rtol=5e-4, atol=5e-5)

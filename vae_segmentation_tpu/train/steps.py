@@ -421,7 +421,8 @@ def make_finetune_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig):
     def step(state: TrainState, teacher_params, image, label, key,
              sched: Dict[str, jax.Array]):
         img = image[..., None]
-        onehot = L.one_hot_label(label, cfg.n_class)
+        onehot = _folded_onehot(label, cfg.n_class) if cfg.folded \
+            else L.one_hot_label(label, cfg.n_class)
         t_pred, t_mean, t_std = _teacher_forward(teacher, teacher_params, img,
                                                  cfg.kl)
         pseudo = L.confident_binarize(t_pred) if cfg.use_confident_binarize \

@@ -177,8 +177,11 @@ class EpochRunner:
         print("epoch %d validation result: %f, best result %f."
               % (epoch + 1, dsc, self.best_result))
         improved = dsc > self.best_result
+        extra = dict(extra or {})
         if improved and not cfg.test_only:
             self.best_result = dsc
+        extra["best_result"] = self.best_result
+        if improved and not cfg.test_only:
             ckpt_lib.save_checkpoint(
                 os.path.join(cfg.save_path, "best_model.ckpt"),
                 epoch=(epoch + 1) * cfg.eval_epoch, params=params,

@@ -172,7 +172,10 @@ def run(cfg: SourceConfig) -> float:
             state = init_state(
                 ckpt_lib.restore_params(jax.tree.map(np.asarray, state.params), ck), tx)
             start_epoch = ck["epoch"] // cfg.eval_epoch
-            print(f"Resumed from {latest} at epoch {ck['epoch']}")
+            runner.best_result = float(
+                ck.get("extra", {}).get("best_result", 0.0))
+            print(f"Resumed from {latest} at epoch {ck['epoch']} "
+                  f"(best {runner.best_result:.4f})")
 
     # compiled steps
     ingest = common.make_train_ingest(cfg)

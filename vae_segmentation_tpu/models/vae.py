@@ -19,7 +19,6 @@ TPU-first notes:
 
 from __future__ import annotations
 
-import math
 from typing import Any, Sequence, Tuple
 
 import jax

@@ -25,8 +25,6 @@ Runs in interpret mode off-TPU (parity tests in tests/test_pallas_conv.py).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -17,8 +17,6 @@ gives the analytic gradients; the sampled eps is a residual.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -27,7 +27,7 @@ Epoch-level scalars that change between steps without recompiling
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -75,3 +75,17 @@ def test_full_workflow(workdir):
              + _common(workdir))
     eval_scores = json.load(open("tensorboard/dom_eval/score_0.json"))
     assert len(eval_scores) == 2
+
+    # --pseudo_list source-replay branch (restricted loss + full teacher
+    # copy cadence + tag decay), 2 epochs so training actually runs
+    tgt_main(["dom_ps", "--method", "domain_adaptation",
+              "--load_prefix", "seg_s", "--load_prefix_vae", "vae_s",
+              "--pseudo_list", "NIH_train", "--pseudo_pan_index", "1",
+              "--pseudo_data_root", str(workdir / "data"),
+              "--lambda_vae", "1.0", "--domain_loss_type", "8",
+              "--pseudo_save_epoch", "1", "--tag"]
+             + _common(workdir)[:-10]
+             + ["--eval_epoch", "1", "--save_epoch", "2", "--max_epoch", "2",
+                "-b", "2", "--patch_size", "32", "32", "32",
+                "--num_workers", "2"])
+    assert json.load(open("tensorboard/dom_ps/score_1.json"))

@@ -257,7 +257,9 @@ def run(cfg: TargetConfig) -> float:
             analysis_step = make_analysis_metrics_step(model_eval,
                                                        teacher_eval, n_class)
         if cfg.pseudo_list is not None:
-            replay_step = make_seg_train_step(model_seg_view(model), tx,
+            # replay trains on GT dice with raw-rep outputs; model_eval
+            # shares the param tree but segments unfolded
+            replay_step = make_seg_train_step(model_seg_view(model_eval), tx,
                                               n_class)
     elif m == "domain_adaptation_dis":
         step = make_adapt_dis_step(model, teacher, tx, acfg)

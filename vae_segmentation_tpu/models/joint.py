@@ -54,6 +54,8 @@ class Joint(nn.Module):
     # the train steps keep the whole loss pipeline folded, skipping every
     # full-resolution reorg. Eval-facing Joints leave this False.
     folded_io: bool = False
+    # stage-level remat of the sub-trunks (see blocks.remat_stage)
+    trunk_remat: bool = True
 
     def _fold_active(self) -> bool:
         from vae_segmentation_tpu.models.blocks import use_s2d
@@ -70,10 +72,11 @@ class Joint(nn.Module):
         fold = self._fold_active()
         self.Seg = Seg(n_class=self.n_class, norm_type=self.norm_type,
                        fmaps=self.fmaps, dtype=self.dtype,
-                       folded_out=fold)
+                       folded_out=fold, remat=self.trunk_remat)
         self.Vae = Vae(n_class=self.n_class, norm_type=self.norm_type,
                        fmaps=self.fmaps, dim=self.dim, dtype=self.dtype,
-                       bottleneck=self.bottleneck, folded_io=fold)
+                       bottleneck=self.bottleneck, folded_io=fold,
+                       remat=self.trunk_remat)
 
     def __call__(self, image: jax.Array, dropout: bool = False):
         """image [B,D,H,W,1] -> (pred, recon, mean, std).

@@ -35,6 +35,8 @@ tests/test_s2d.py.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 import jax
@@ -196,13 +198,30 @@ def conv3_folded(xf: jax.Array, k: jax.Array, dtype=None) -> jax.Array:
 def instance_norm_folded(xf: jax.Array, c: int, eps: float = 1e-5
                          ) -> jax.Array:
     """InstanceNorm over (spatial + in-block positions) per ORIGINAL
-    channel: identical statistics to unfolded instance_norm."""
-    b, d2, h2, w2, fc = xf.shape
-    x32 = xf.astype(jnp.float32).reshape(b, d2, h2, w2, NB, c)
-    mean = jnp.mean(x32, axis=(1, 2, 3, 4), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2, 3, 4), keepdims=True)
-    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return out.reshape(xf.shape).astype(xf.dtype)
+    channel: identical statistics to unfolded instance_norm.
+
+    Written WITHOUT reshaping the big tensor: splitting the lane dim
+    (8C -> [8, C]) on a full-resolution f32 upcast makes XLA materialize a
+    permuted-layout copy (~300 MB each at 128^3 b4 — measured as the
+    dominant copy traffic in the step trace, BENCH.md). Instead the
+    spatial reduce runs on the natural [B, *, 8C] layout, the tiny [B, 8C]
+    sums are regrouped to channels, and the normalize is one fused
+    elementwise pass."""
+    b = xf.shape[0]
+    fc = xf.shape[-1]
+    n = math.prod(xf.shape[1:-1]) * (fc // c)
+    x32 = xf.astype(jnp.float32)
+    s = jnp.sum(x32, axis=(1, 2, 3))                # [B, 8C], fused reduce
+    ss = jnp.sum(jnp.square(x32), axis=(1, 2, 3))   # [B, 8C]
+    s = s.reshape(b, fc // c, c).sum(axis=1)        # [B, C] (tiny)
+    ss = ss.reshape(b, fc // c, c).sum(axis=1)
+    mean = s / n
+    var = ss / n - mean * mean
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    scale = jnp.tile(rstd, (1, fc // c))            # [B, 8C]
+    shift = jnp.tile(-mean * rstd, (1, fc // c))
+    out = x32 * scale[:, None, None, None, :] + shift[:, None, None, None, :]
+    return out.astype(xf.dtype)
 
 
 def softmax_folded(xf: jax.Array, c: int) -> jax.Array:

@@ -225,7 +225,22 @@ def instance_norm_folded(xf: jax.Array, c: int, eps: float = 1e-5
 
 
 def softmax_folded(xf: jax.Array, c: int) -> jax.Array:
-    """Softmax over the original class channel inside the folded rep."""
-    b, d2, h2, w2, fc = xf.shape
-    x32 = xf.astype(jnp.float32).reshape(b, d2, h2, w2, NB, c)
-    return jax.nn.softmax(x32, axis=-1).reshape(xf.shape)
+    """Softmax over the original class channel inside the folded rep,
+    WITHOUT reshaping the big tensor (lane-splitting reshapes materialize
+    permuted-layout copies — see instance_norm_folded).
+
+    Stability shift: the max over the WHOLE folded channel dim is one
+    scalar per position, i.e. a constant within every (δ, ·) class group —
+    softmax is invariant to it. The per-group exp-sum is a tiny 0/1
+    group matmul on the lane dim."""
+    fc = xf.shape[-1]
+    g = fc // c
+    x32 = xf.astype(jnp.float32)
+    m = jnp.max(x32, axis=-1, keepdims=True)
+    e = jnp.exp(x32 - m)
+    # G[i, j] = 1 iff lanes i, j belong to the same delta block
+    blk = jnp.arange(fc) // c
+    gmat = (blk[:, None] == blk[None, :]).astype(jnp.float32)
+    denom = jax.lax.dot_general(e, gmat, (((e.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    return e / denom

@@ -90,6 +90,86 @@ def test_sharded_seg_step_with_s2d(monkeypatch):
     assert np.isfinite(float(m8["dice_loss"]))
 
 
+def test_spatial_sharding_conv_gradient():
+    """Gradients (d/dk and d/dx) of a 3^3 conv with the volume's D axis
+    sharded over 'spatial' must equal the unsharded gradients: XLA
+    halo-exchanges both the forward conv and the two transposed convs of
+    the backward pass."""
+    rng_ = np.random.default_rng(2)
+    x = rng_.normal(size=(2, 32, 16, 16, 4)).astype(np.float32)
+    k = (rng_.normal(size=(3, 3, 3, 4, 4)) * 0.1).astype(np.float32)
+
+    def loss(k_, x_):
+        y = jax.lax.conv_general_dilated(
+            x_, k_, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return jnp.sum(y * y)
+
+    gk_ref, gx_ref = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(k), jnp.asarray(x))
+
+    mesh = parallel.make_mesh(n_data=2, n_spatial=4)
+    sh = jax.sharding.NamedSharding(mesh, P("data", "spatial"))
+    gk, gx = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+        jax.device_put(k, parallel.replicated(mesh)),
+        jax.device_put(x, sh))
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_folded_adapt_step_dp_sp_matches_single_device(monkeypatch):
+    """The PRODUCTION path under the mesh: the space-to-depth folded adapt
+    step (folded Joint IO, folded losses) on a DP4 x SP2 mesh must produce
+    the same loss and updated params as the same step on one device — the
+    fold reshape splits the spatially-sharded D axis, exactly where GSPMD
+    surprises would live."""
+    monkeypatch.setenv("VAESEG_S2D", "1")
+    from vae_segmentation_tpu.models import Joint
+    from vae_segmentation_tpu.train import (
+        AdaptConfig, default_sched, init_state, make_adapt_step)
+
+    side = 32
+    model = Joint(n_class=2, dim=8, fmaps=FMAPS, dtype=jnp.float32,
+                  bottleneck=FMAPS[5] * (side // 32) ** 3, folded_io=True)
+    rng_ = np.random.default_rng(7)
+    img = rng_.normal(size=(4, side, side, side)).astype(np.float32)
+    lab = (rng_.random((4, side, side, side)) > 0.8).astype(np.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, side, side, side, 1), jnp.float32))["params"]
+    tx = optim.freeze_vae(optim.sgd(0.05), params)
+    cfg = AdaptConfig(n_class=2, domain_loss_type=8, folded=True)
+    step = make_adapt_step(model, model, tx, cfg)
+    sched = default_sched(1.0)
+    key = jax.random.PRNGKey(3)
+
+    s1 = init_state(jax.tree.map(jnp.array, params), tx)
+    s1, m1 = step(s1, jax.tree.map(jnp.copy, params), jnp.asarray(img),
+                  jnp.asarray(lab), key, sched)
+
+    mesh = parallel.make_mesh(n_data=4, n_spatial=2)
+    sh = parallel.batch_sharding(mesh, shard_spatial=True)
+    s8 = init_state(
+        parallel.replicate_params(mesh, jax.tree.map(jnp.array, params)), tx)
+    s8, m8 = step(s8,
+                  parallel.replicate_params(mesh,
+                                            jax.tree.map(jnp.copy, params)),
+                  jax.device_put(img, sh), jax.device_put(lab, sh), key,
+                  sched)
+
+    for name in ("final_loss", "recon_loss", "dice_loss_fake"):
+        np.testing.assert_allclose(float(m1[name]), float(m8[name]),
+                                   rtol=1e-5)
+    # f32 reduction orders differ across the partitioned convs; the updated
+    # params agree to float noise (measured max |delta| 8e-5 at lr 0.05 on
+    # the deepest stage), not bit-exactly
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
+
+
 def test_spatial_sharding_conv_forward():
     """Shard the volume's D axis over 'spatial': XLA inserts the halo
     exchanges for the 3^3 convs; result must equal the unsharded forward."""

@@ -10,13 +10,46 @@ optax.multi_transform — no stop_gradient anywhere.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import optax
 
 TRAIN = "train"
 FREEZE = "freeze"
+
+
+class MaskedTransform(NamedTuple):
+    """optax.GradientTransformation plus the freezing predicate that produced
+    it. The train steps read `is_frozen` to mark frozen leaves as constants
+    (stop_gradient) inside the loss, so XLA never builds their weight-gradient
+    computations — e.g. the frozen VAE's kernel-grad convs in the adaptation
+    step (~1x VAE-forward of pure waste otherwise). Updates for those leaves
+    are zero either way; the numbers are identical."""
+
+    init: Callable
+    update: Callable
+    is_frozen: Callable[[tuple], bool]
+
+
+def path_keys(path) -> tuple:
+    """jax key-path -> tuple of plain str/int keys."""
+    return tuple(getattr(k, "key", getattr(k, "idx", None)) for k in path)
+
+
+def stop_gradient_frozen(params, tx):
+    """Return `params` with every leaf the optimizer will never update
+    wrapped in stop_gradient. Gradients still flow THROUGH frozen modules
+    (chain rule via their outputs); only d(loss)/d(frozen leaf) disappears —
+    which the optimizer was zeroing anyway."""
+    is_frozen = getattr(tx, "is_frozen", None)
+    if is_frozen is None:
+        return params
+    return jax.tree_util.tree_map_with_path(
+        lambda path, p: jax.lax.stop_gradient(p)
+        if is_frozen(path_keys(path)) else p,
+        params,
+    )
 
 
 def sgd(lr: float, momentum: float = 0.9, weight_decay: float = 0.0):
@@ -42,21 +75,14 @@ def freeze_by_path(tx, params, is_frozen: Callable[[tuple], bool]):
     receive zero updates. Paths are tuples of str keys from the root."""
 
     def label_tree(p):
-        flat = jax.tree_util.tree_flatten_with_path(p)[0]
-        labels = {}
-        for path, _ in flat:
-            keys = tuple(getattr(k, "key", getattr(k, "idx", None))
-                         for k in path)
-            labels[keys] = FREEZE if is_frozen(keys) else TRAIN
-        # rebuild a pytree of labels with the same structure
         return jax.tree_util.tree_map_with_path(
-            lambda path, _: labels[tuple(
-                getattr(k, "key", getattr(k, "idx", None)) for k in path)],
+            lambda path, _: FREEZE if is_frozen(path_keys(path)) else TRAIN,
             p,
         )
 
-    return optax.multi_transform({TRAIN: tx, FREEZE: optax.set_to_zero()},
-                                 label_tree(params))
+    wrapped = optax.multi_transform({TRAIN: tx, FREEZE: optax.set_to_zero()},
+                                    label_tree(params))
+    return MaskedTransform(wrapped.init, wrapped.update, is_frozen)
 
 
 def freeze_vae(tx, params):

@@ -37,6 +37,7 @@ from flax import struct
 from vae_segmentation_tpu.models.joint import Joint, Joint2
 from vae_segmentation_tpu.ops import losses as L
 from vae_segmentation_tpu.ops import s2d
+from vae_segmentation_tpu.train.optim import stop_gradient_frozen
 
 
 def _folded_onehot(label: jax.Array, n_class: int) -> jax.Array:
@@ -119,6 +120,7 @@ def make_seg_train_step(model, tx, n_class: int, *, eps: float = L.SOURCE_EPS):
         onehot = L.one_hot_label(label, n_class)
 
         def loss_fn(p):
+            p = stop_gradient_frozen(p, tx)
             pred = model.apply({"params": p}, image[..., None])
             dsc_loss = 1.0 - L.avg_dsc(pred, onehot, botindex=1,
                                        topindex=n_class, eps=eps)
@@ -142,6 +144,7 @@ def make_joint_train_step(model: Joint, tx, n_class: int, *,
         onehot = L.one_hot_label(label, n_class)
 
         def loss_fn(p):
+            p = stop_gradient_frozen(p, tx)
             pred, recon, _, _ = model.apply({"params": p}, image[..., None])
             recon_loss = 1.0 - L.avg_dsc(pred, recon, botindex=1,
                                          topindex=n_class, eps=eps)
@@ -359,6 +362,7 @@ def make_adapt_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig, *,
         klv = L.kl_loss(t_mean, t_std) if cfg.kl else jnp.float32(0.0)
 
         def loss_fn(p):
+            p = stop_gradient_frozen(p, tx)
             return _student_mc_losses(model, p, img, onehot, pseudo, klv,
                                       cfg, sched, key, variant=variant)
 
@@ -385,6 +389,7 @@ def make_cached_pseudo_adapt_step(model: Joint, tx, cfg: AdaptConfig, *,
         n = cfg.n_class
 
         def loss_fn(p):
+            p = stop_gradient_frozen(p, tx)
             pred, recon, _, _ = model.apply({"params": p}, img)
             recon_loss = 1.0 - L.avg_dsc(pred, recon, botindex=1, topindex=n,
                                          eps=eps)
@@ -430,6 +435,7 @@ def make_finetune_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig):
         klv = L.kl_loss(t_mean, t_std) if cfg.kl else jnp.float32(0.0)
 
         def loss_fn(p):
+            p = stop_gradient_frozen(p, tx)
             return _student_mc_losses(model, p, img, onehot, pseudo, klv,
                                       cfg, sched, key, variant="finetune")
 
@@ -462,6 +468,7 @@ def make_embed_train_step(model, tx, n_class: int):
         onehot = L.one_hot_label(label, n_class)
 
         def loss_fn(p):
+            p = stop_gradient_frozen(p, tx)
             out = model.apply({"params": p}, img, onehot, test_mode=True,
                               rngs={"reparam": key})
             kw = dict(botindex=1, topindex=n_class)
@@ -499,6 +506,7 @@ def make_refine_vae_step(model, tx, n_class: int):
         onehot = L.one_hot_label(label, n_class)
 
         def loss_fn(p):
+            p = stop_gradient_frozen(p, tx)
             out = model.apply({"params": p}, img, onehot, test_mode=True,
                               rngs={"reparam": key})
             kw = dict(botindex=1, topindex=n_class)
@@ -582,6 +590,7 @@ def make_adapt_dis_step(model: Joint2, teacher_seg, tx, cfg: AdaptConfig):
             else L.binarize(t_pred)
 
         def loss_fn(p):
+            p = stop_gradient_frozen(p, tx)
             k_drop = jax.random.fold_in(key, 0)
             pred, score = model.apply({"params": p}, img, dropout=True,
                                       rngs={"dropout": k_drop})

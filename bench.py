@@ -61,8 +61,10 @@ def build():
         AdaptConfig, default_sched, init_state, make_adapt_step, optim)
 
     fold = use_s2d()  # the trainer-equivalent folded pipeline on TPU
+    # trunk_remat=False mirrors the trainer's policy at vae_mont_number=1:
+    # the b4 128^3 step fits HBM without remat (BENCH.md)
     model = Joint(n_class=2, dim=128, vae_decoder_dropout=0.5,
-                  folded_io=fold)
+                  folded_io=fold, trunk_remat=False)
     init_img = jnp.zeros((1, SIDE, SIDE, SIDE, 1), jnp.float32)
     params = model.init({"params": jax.random.PRNGKey(0)}, init_img)["params"]
     tx = optim.freeze_vae(optim.sgd(1e-3), params)

@@ -49,15 +49,24 @@ def test_full_workflow(workdir):
     assert os.path.exists("3dmodel/vae_s/best_model.ckpt")
     assert os.path.exists("tensorboard/vae_s/score_0.json")
 
-    src_main(["seg_s", "--method", "seg_train"] + _common(workdir))
+    # seg_train with the reference VAE monitor + eval artifacts: npy dumps
+    # incl. gt_recon (main_source.py:721-761) and the val/train TB panels
+    src_main(["seg_s", "--method", "seg_train", "--load_prefix_vae", "vae_s",
+              "--save_eval_result", "--save_more_reference"]
+             + _common(workdir))
     assert os.path.exists("3dmodel/seg_s/best_model.ckpt")
+    for stem in ("0_0_pred.join", "0_0_pic", "0_0_gt", "0_0_gt_recon"):
+        assert os.path.exists(f"result/seg_s/{stem}.npy"), stem
 
     # flagship: teacher-student with dh schedule + per-case TTT; 2 outer
-    # epochs so the epoch-0 skip is exercised AND a training epoch runs
+    # epochs so the epoch-0 skip is exercised AND a training epoch runs.
+    # --save_eval_result / --save_more_reference drive the npy-dump and
+    # TB-panel contracts (main_target.py:916-936,999-1010)
     tgt_main(["dom_s", "--method", "domain_adaptation",
               "--load_prefix", "seg_s", "--load_prefix_vae", "vae_s",
               "--lambda_vae", "1.0", "--domain_loss_type", "8",
-              "--val_finetune", "1"]
+              "--val_finetune", "1", "--save_eval_result",
+              "--save_more_reference"]
              + _common(workdir)[:-10]
              + ["--eval_epoch", "1", "--save_epoch", "2", "--max_epoch", "2",
                 "-b", "2", "--patch_size", "32", "32", "32",
@@ -68,6 +77,10 @@ def test_full_workflow(workdir):
     assert len(scores) == 2 and len(noft) == 2
     for v in scores.values():
         assert 0.0 <= v <= 1.0
+    # npy eval artifacts: epoch 0 is the only epoch%10==0 epoch here
+    for stem in ("0_0_pred.join", "0_0_pic", "0_0_gt", "0_1_pred.join"):
+        a = np.load(f"result/dom_s/{stem}.npy")
+        assert a.shape[0] == 1 and a.ndim == 5, (stem, a.shape)
 
     # eval-only reload of the trained joint model
     tgt_main(["dom_eval", "--method", "domain_adaptation",

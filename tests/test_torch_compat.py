@@ -120,3 +120,112 @@ def test_fc2_decode_permutation_parity(ref_models, rng):
     got = (z @ w_perm + b_perm).reshape(2, 4, 4, 4, 256)
     np.testing.assert_allclose(np.transpose(got, (0, 4, 1, 2, 3)), want,
                                rtol=1e-4, atol=1e-5)
+
+
+def _ref_vae_forward(tm, x, if_random=False):
+    """The reference VAE.forward (joint_model.py:227-272) with its two
+    hardcoded 128^3 views (`view(B, 16384)` / `view(B, 256, 4, 4, 4)`,
+    joint_model.py:242,255) made parametric so the FULL model runs at
+    test-size inputs. Every submodule call is the reference's own module;
+    if_random=False keeps the deterministic fc2(mean) path
+    (joint_model.py:250)."""
+    x = tm.in_block(x)
+    x = tm.down1(x)
+    x = tm.down2(x)
+    x = tm.down3(x)
+    x = tm.down4(x)
+    x = tm.down5(x)
+    b, ch, side = x.size(0), x.size(1), x.size(2)
+    x = x.view(b, -1)
+    x_mean = tm.fc_mean(x)
+    x_std = torch.nn.ReLU()(tm.fc_std(x))
+    assert not if_random
+    x = tm.fc2(x_mean)
+    x = x.view(b, ch, side, side, side)
+    x = tm.up1(x)
+    x = tm.up2(x)
+    x = tm.up3(x)
+    x = tm.up4(x)
+    x = tm.up5(x)
+    x = tm.out_block(x)
+    return tm.final(x), x_mean, x_std
+
+
+@requires_reference
+def test_vae_full_parity(ref_models, rng):
+    """Same-weights encode+decode parity for the WHOLE ShapeVAE at 64^3
+    (bottleneck 256 x 2^3 = 2048 -> exercises the real flatten-order
+    permutation of fc_mean/fc_std/fc2, torch_compat.py). The reference's
+    three fc layers are surgically replaced with 2048-wide equivalents —
+    the only 128^3 hardcoding in the model (joint_model.py:217-219)."""
+    from vae_segmentation_tpu.models import ShapeVAE
+    from vae_segmentation_tpu.models.torch_compat import convert_state_dict
+
+    dim, side, bott = 8, 64, 2048
+    tm = ref_models.VAE(n_channels=2, n_class=2, norm_type=1, dim=dim)
+    tm.fc_mean = torch.nn.Linear(bott, dim)
+    tm.fc_std = torch.nn.Linear(bott, dim)
+    tm.fc2 = torch.nn.Linear(dim, bott)
+    tm.eval()
+
+    lab = (rng.random((1, side, side, side)) > 0.7).astype(np.float32)
+    onehot = np.stack([1.0 - lab, lab], axis=1)  # NCDHW
+    with torch.no_grad():
+        want, want_mean, want_std = _ref_vae_forward(
+            tm, torch.from_numpy(onehot))
+
+    model = ShapeVAE(n_class=2, dim=dim, bottleneck=bott, dtype=jnp.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, side, side, side, 2)))["params"]
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_state_dict(sd, params, "vae")
+
+    recon, mean, std = model.apply({"params": params},
+                                   jnp.asarray(np.moveaxis(onehot, 1, -1)),
+                                   if_random=False)
+    np.testing.assert_allclose(np.asarray(mean), want_mean.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(std), want_std.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(recon), -1, 1),
+                               want.numpy(), rtol=1e-3, atol=1e-4)
+
+
+@requires_reference
+def test_encoder_full_parity(ref_models, rng):
+    """Same-weights parity for the discriminator Encoder (dim=1) at 64^3:
+    trunk + fc1(relu)+fc2(relu)+fc_mean(sigmoid) (joint_model.py:277-305).
+    fc1 is replaced with the 2048-wide equivalent (the 16384 hardcoding,
+    joint_model.py:290)."""
+    from vae_segmentation_tpu.models import ShapeEncoder
+    from vae_segmentation_tpu.models.torch_compat import convert_state_dict
+
+    side, bott = 64, 2048
+    tm = ref_models.Encoder(n_channels=1, dim=1, norm_type=1)
+    tm.fc1 = torch.nn.Linear(bott, 1024)
+    tm.eval()
+
+    x = rng.normal(size=(1, 1, side, side, side)).astype(np.float32)
+
+    def fwd(t, xt):  # joint_model.py:292-305 with a parametric flatten
+        h = t.in_block(xt)
+        for d in (t.down1, t.down2, t.down3, t.down4, t.down5):
+            h = d(h)
+        h = h.view(h.size(0), -1)
+        h = torch.nn.functional.relu(t.fc1(h))
+        h = torch.nn.functional.relu(t.fc2(h))
+        return torch.sigmoid(t.fc_mean(h))
+
+    with torch.no_grad():
+        want = fwd(tm, torch.from_numpy(x)).numpy()
+
+    model = ShapeEncoder(dim=1, bottleneck=bott, dtype=jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, side, side, side, 1)))["params"]
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_state_dict(sd, params, "encoder")
+
+    got = model.apply({"params": params},
+                      jnp.asarray(np.moveaxis(x, 1, -1)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)

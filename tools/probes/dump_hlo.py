@@ -6,7 +6,9 @@ from vae_segmentation_tpu.models import Joint
 from vae_segmentation_tpu.models.blocks import use_s2d
 from vae_segmentation_tpu.train import (AdaptConfig, default_sched, init_state, make_adapt_step, optim)
 S=128; B=4; fold=use_s2d()
-model = Joint(n_class=2, dim=128, vae_decoder_dropout=0.5, folded_io=fold)
+import os
+remat = os.environ.get("TRACE_REMAT", "0") == "1"
+model = Joint(n_class=2, dim=128, vae_decoder_dropout=0.5, folded_io=fold, trunk_remat=remat)
 img1 = jnp.zeros((1,S,S,S,1), jnp.float32)
 params = model.init({"params": jax.random.PRNGKey(0)}, img1)["params"]
 tx = optim.freeze_vae(optim.sgd(1e-3), params)

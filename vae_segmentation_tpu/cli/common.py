@@ -46,7 +46,9 @@ def build_train_loader(cfg: CommonConfig, mesh, *, data_root: str,
                      mask_index=parse_pan_index(pan_index),
                      output_size=cfg.patch_size,
                      shift=getattr(cfg, "shift", 0))
-    sharding = parallel.batch_sharding(mesh) if mesh is not None else None
+    sharding = parallel.batch_sharding(
+        mesh, shard_spatial=mesh.shape[parallel.SPATIAL_AXIS] > 1) \
+        if mesh is not None else None
     return Loader(ds, cfg.batch_size, shuffle=True, drop_last=True,
                   num_workers=cfg.num_workers, seed=cfg.seed + seed_salt,
                   device_sharding=sharding)
@@ -202,22 +204,40 @@ def make_mesh_if_multichip(cfg: CommonConfig):
     """('data', 'spatial') mesh sized to the run: the data axis is the
     largest divisor of batch_size that fits the chips left after
     --spatial_shards. None when that degenerates to a single device —
-    everything runs unsharded."""
-    avail = jax.device_count() // cfg.spatial_shards
+    everything runs unsharded.
+
+    When --spatial_shards is left at 1 and chips would sit idle (e.g. the
+    flagship batch 4 on a v5e-8), the idle pairs are auto-promoted to the
+    'spatial' axis — D-axis sharding with XLA halo exchange — so the whole
+    slice works (DP4 x SP2 instead of 4 idle chips)."""
+    n_dev = jax.device_count()
+    n_spatial = cfg.spatial_shards
+    avail = n_dev // n_spatial
     n_data = 1
     for d in range(min(avail, cfg.batch_size), 0, -1):
         if cfg.batch_size % d == 0:
             n_data = d
             break
-    if n_data == 1 and cfg.spatial_shards == 1:
+    if n_spatial == 1 and n_data > 1 and n_data * 2 <= n_dev \
+            and cfg.patch_size[0] % 8 == 0:
+        n_spatial = 2
+        print(f"Auto-promoting {n_dev - n_data} idle chips to spatial "
+              f"sharding: mesh data={n_data} x spatial={n_spatial}")
+    if n_data * n_spatial < n_dev:
+        print(f"WARNING: using {n_data * n_spatial} of {n_dev} devices "
+              f"(batch_size={cfg.batch_size}, "
+              f"spatial_shards={cfg.spatial_shards}); raise the batch or "
+              f"--spatial_shards to occupy the slice")
+    if n_data == 1 and n_spatial == 1:
         return None
-    return parallel.make_mesh(n_data=n_data, n_spatial=cfg.spatial_shards)
+    return parallel.make_mesh(n_data=n_data, n_spatial=n_spatial)
 
 
 def shard_train_batch(mesh, batch):
     if mesh is None:
         return jnp.asarray(batch["image"]), jnp.asarray(batch["label"])
-    sh = parallel.batch_sharding(mesh)
+    sh = parallel.batch_sharding(
+        mesh, shard_spatial=mesh.shape[parallel.SPATIAL_AXIS] > 1)
     return (jax.device_put(batch["image"], sh),
             jax.device_put(batch["label"], sh))
 

@@ -52,6 +52,11 @@ from vae_segmentation_tpu.train import (
 )
 
 
+# the reference's fixed dict key for every display tensor (label_key,
+# main_source.py:115)
+LABEL_KEY = "venous_pancreas"
+
+
 def _build_model(cfg: SourceConfig, n_class: int):
     """Model zoo dispatch (main_source.py:249-275)."""
     m = cfg.method
@@ -128,9 +133,6 @@ def run(cfg: SourceConfig) -> float:
     train_loader = common.build_train_loader(
         cfg, mesh, data_root=cfg.data_root, list_key=cfg.train_list,
         pan_index=cfg.pan_index)
-    val_loader_fn = lambda: common.with_image_norm(common.build_val_loader(  # noqa: E731
-        cfg, data_root=cfg.val_data_root, list_key=cfg.val_list,
-        pan_index=cfg.pan_index))
 
     print("Building model.")
     model = _build_model(cfg, n_class)
@@ -138,6 +140,8 @@ def run(cfg: SourceConfig) -> float:
 
     ref_vae = ShapeVAE(n_class=n_class, dim=128,
                        bottleneck=common.bottleneck_for(cfg.patch_size))
+    ref_vae_fwd = jax.jit(lambda p, x: ref_vae.apply(
+        {"params": p}, x, if_random=False)[0])
     ref_vae_params = None
     if m == "seg_train" and cfg.load_prefix_vae:
         ref_vae_params = _init_params(
@@ -180,7 +184,9 @@ def run(cfg: SourceConfig) -> float:
     # compiled steps
     ingest = common.make_train_ingest(cfg)
     if m == "vae_train":
-        step = make_vae_train_step(model, tx, n_class)
+        # the reference writes a [gt c0, gt c1, recon c1] TB panel from the
+        # train batch every display step (main_source.py:394-396,413)
+        step = make_vae_train_step(model, tx, n_class, return_display=True)
         eval_step = make_vae_eval_step(model, n_class)
     elif m == "seg_train":
         step = make_seg_train_step(model, tx, n_class)
@@ -245,34 +251,94 @@ def run(cfg: SourceConfig) -> float:
                 elif m == "sep_joint_train":
                     state, metrics = step(state, teacher_params, image_n,
                                           label_a)
+                train_panel = metrics.pop("display", None)
                 _print_train_line(m, epoch, cfg.eval_epoch, idx, metrics)
                 runner.saver.write_display(
                     idx + epoch * len(train_loader),
-                    [(k, float(v)) for k, v in metrics.items()])
+                    [(k, float(v)) for k, v in metrics.items()],
+                    {LABEL_KEY + "_display": train_panel}
+                    if train_panel is not None else None)
 
         # ---- validation (main_source.py:685-824)
         print("Start evaluation")
         scores: Dict[int, float] = {}
+        display_image: Dict[str, np.ndarray] = {}
         if cfg.eval_mode == "sliding_window" and m != "vae_train":
             dsc, scores = common.run_sliding_window_eval(
                 cfg, _seg_apply_fn(cfg, m, model), state.params,
                 n_class=n_class, data_root=cfg.val_data_root,
                 list_key=cfg.val_list, pan_index=cfg.pan_index)
         else:
-            for batch in val_loader_fn():
+            val_loader = common.build_val_loader(
+                cfg, data_root=cfg.val_data_root, list_key=cfg.val_list,
+                pan_index=cfg.pan_index)
+            n_val = max(len(val_loader), 1)
+            # --save_eval_result npy dumps every 10th epoch
+            # (main_source.py:721-728,744-761)
+            dump = cfg.save_eval_result and epoch % 10 == 0 and \
+                m in ("seg_train", "joint_train", "domain_adaptation",
+                      "sep_joint_train")
+            for pos, batch in enumerate(common.with_image_norm(val_loader)):
                 vidx = int(batch["index"][0])
                 label = jnp.asarray(batch["label"])
+                panel_case = cfg.save_more_reference and pos == epoch % n_val
                 if m == "vae_train":
-                    _, score = eval_step(state.params, label)
+                    recon, score = eval_step(state.params, label)
+                    if panel_case:  # main_source.py:700-703
+                        onehot = L.one_hot_label(label, n_class)
+                        display_image[LABEL_KEY + "_display"] = \
+                            mid_slice_panel(onehot[..., 0], onehot[..., 1],
+                                            recon[..., 1])
                 else:
                     out = eval_step(state.params, batch["image_norm"], label)
-                    score = out["score"] if isinstance(out, dict) else out[1]
+                    if isinstance(out, dict):
+                        pred, score = out["pred"], out["score"]
+                        recon = out.get("recon")
+                    else:
+                        pred, score = out
+                        recon = None
+                    if dump:
+                        onehot = L.one_hot_label(label, n_class)
+                        common.save_eval_npys(
+                            cfg.result_path, epoch, vidx,
+                            np.asarray(L.binarize(pred), np.float32),
+                            np.asarray(batch["image_norm"], np.float32),
+                            np.asarray(L.binarize(onehot), np.float32))
+                        if m == "seg_train" and ref_vae_params is not None:
+                            gt_recon = ref_vae_fwd(ref_vae_params, onehot)
+                            np.save(os.path.join(
+                                cfg.result_path,
+                                f"{epoch}_{vidx}_gt_recon"),
+                                np.moveaxis(np.asarray(
+                                    L.binarize(gt_recon), np.float32), -1, 1))
+                    if panel_case:
+                        onehot = L.one_hot_label(label, n_class)
+                        if recon is not None:  # joint family, :744-753
+                            display_image[LABEL_KEY + "_display_val"] = \
+                                mid_slice_panel(recon[..., 1], onehot[..., 1],
+                                                pred[..., 1])
+                        elif m == "seg_train" and ref_vae_params is not None:
+                            # :762-769
+                            recon_pred = ref_vae_fwd(ref_vae_params, pred)
+                            display_image[LABEL_KEY + "_display_val"] = \
+                                mid_slice_panel(
+                                    jnp.asarray(batch["image_norm"]),
+                                    onehot[..., 1], pred[..., 1],
+                                    recon_pred[..., 1])
                 scores[vidx] = float(score)
             dsc = sum(scores.values()) / max(len(scores), 1)
+        # post-eval train-batch panel (main_source.py:776-811)
+        if cfg.save_more_reference and not cfg.test_only and \
+                m not in ("vae_train", "embed_train", "refine_vae"):
+            panel = _train_display_panel(cfg, m, eval_step, state.params,
+                                         epoch, n_class, ref_vae_fwd,
+                                         ref_vae_params)
+            if panel is not None:
+                display_image[LABEL_KEY + "_display_train"] = panel
         runner.dump_scores(epoch, scores)
         runner.saver.write_display(
             (epoch + 1) * len(train_loader), [("val_result", dsc)],
-            force_write=True)
+            display_image or None, force_write=True)
         runner.end_of_epoch(epoch, dsc, state.params, state.opt_state)
         if cfg.test_only:
             break
@@ -301,6 +367,37 @@ def _seg_apply_fn(cfg, method, model):
         return lambda p, x: model.apply({"params": p}, x,
                                         method=Embed.segment)
     raise ValueError(method)
+
+
+def _train_display_panel(cfg, m, eval_step, params, epoch, n_class,
+                         ref_vae_fwd, ref_vae_params):
+    """Post-eval TB panel of one train case (main_source.py:776-811): the
+    reference iterates a second train loader and keeps batch epoch%len; we
+    index the case directly. Deviation (documented): the case goes through
+    the val normalization (no random warp) — the reference pushes it through
+    the train augmentation chain."""
+    from vae_segmentation_tpu.data.manifest import filedict_from_json
+    from vae_segmentation_tpu.data.pipeline import CaseDataset
+    from vae_segmentation_tpu.data.transforms import parse_pan_index
+
+    entries = filedict_from_json(cfg.data_path, cfg.train_list, 1)
+    ds = CaseDataset(entries, cfg.data_root,
+                     mask_index=parse_pan_index(cfg.pan_index),
+                     output_size=cfg.patch_size)
+    case = ds[epoch % len(ds)]
+    image_n = common._val_ingest(jnp.asarray(case["image"])[None])
+    label = jnp.asarray(case["label"])[None]
+    out = eval_step(params, image_n, label)
+    onehot = L.one_hot_label(label, n_class)
+    if isinstance(out, dict) and out.get("recon") is not None:
+        # joint family: [recon_pred c1, gt c1, pred c1] (:785-789)
+        return mid_slice_panel(out["recon"][..., 1], onehot[..., 1],
+                               out["pred"][..., 1])
+    pred = out["pred"] if isinstance(out, dict) else out[0]
+    vols = [image_n, onehot[..., 1], pred[..., 1]]
+    if ref_vae_params is not None:  # seg_train + ref VAE (:795-805)
+        vols.append(ref_vae_fwd(ref_vae_params, pred)[..., 1])
+    return mid_slice_panel(*vols)
 
 
 def _adapt_cfg(cfg: SourceConfig, n_class: int):

@@ -37,6 +37,7 @@ from vae_segmentation_tpu.eval.evaluate import (
 )
 from vae_segmentation_tpu.models import Joint, Joint2, SegUNet, ShapeEncoder, ShapeVAE
 from vae_segmentation_tpu.obs import draw
+from vae_segmentation_tpu.obs.saver import mid_slice_panel
 from vae_segmentation_tpu.obs.timing import StepTimer, profile_trace
 from vae_segmentation_tpu.ops import losses as L
 from vae_segmentation_tpu.train import (
@@ -124,6 +125,10 @@ def run(cfg: TargetConfig) -> float:
             cfg, data_root=cfg.val_data_root, list_key=cfg.val_list,
             pan_index=cfg.pan_index))
 
+    n_val_cases = max(len(common.build_val_loader(
+        cfg, data_root=cfg.val_data_root, list_key=cfg.val_list,
+        pan_index=cfg.pan_index)), 1)
+
     print("Building model.")
     rngs = {"params": jax.random.PRNGKey(cfg.seed)}
     zero_img = jnp.zeros((1, *patch, 1), jnp.float32)
@@ -142,15 +147,22 @@ def run(cfg: TargetConfig) -> float:
         from vae_segmentation_tpu.models.blocks import use_s2d
         fold_active = use_s2d()
         jkw = dict(n_class=n_class, dim=128, bottleneck=bott)
+        # Remat policy (measured, BENCH.md): at vae_mont_number=1 the
+        # 128^3 step fits HBM with NO rematerialization through batch 8
+        # (633 ms b4 / 482 ms b8 vs 716 ms b4 with stage remat) — remat
+        # only pays when the MC loop multiplies live activations.
         model = Joint(vae_forward_scale=cfg.vae_forward_scale,
                       vae_decoder_dropout=cfg.vae_decoder_dropout,
                       seg_dropout=cfg.seg_dropout,
                       composite_remat=cfg.vae_mont_number > 1,
+                      trunk_remat=cfg.vae_mont_number > 1,
                       folded_io=fold_active, **jkw)
         # eval-facing views share the SAME param tree, unfolded outputs
         model_eval = Joint(vae_forward_scale=cfg.vae_forward_scale, **jkw)
         teacher = Joint(folded_io=fold_active, **jkw)
         teacher_eval = Joint(**jkw)
+        teacher_seg_fwd = jax.jit(lambda p, x: teacher_eval.apply(
+            {"params": p}, x, method=Joint.segment))
         params = model.init(rngs, zero_img)["params"]
         teacher_params = jax.tree.map(jnp.copy, params)
     elif m == "domain_adaptation_dis":
@@ -360,6 +372,7 @@ def run(cfg: TargetConfig) -> float:
         t_eval = time.time()
         scores: Dict[int, float] = {}
         scores_noft: Dict[int, float] = {}
+        display_image: Dict[str, np.ndarray] = {}
         fig, fig_gt, fig_pseudo = {}, {}, {}
         dsc = 0.0
         n_val = 0
@@ -391,7 +404,7 @@ def run(cfg: TargetConfig) -> float:
                 pan_index=cfg.pan_index)
         else:
             sched = _epoch_sched(cfg, epoch, lambda_vae)
-            for batch in val_batches():
+            for pos, batch in enumerate(val_batches()):
                 vidx = int(batch["index"][0])
                 image_n = batch["image_norm"]
                 label = jnp.asarray(batch["label"])
@@ -409,13 +422,22 @@ def run(cfg: TargetConfig) -> float:
                         runner.saver.write_display(
                             i + vidx * cfg.val_finetune,
                             [("finetune_" + k, float(v))
-                             for k, v in ft_metrics.items()],
+                             for k, v in ft_metrics.items()
+                             if np.ndim(v) == 0],
                             force_write=True, verbose=False)
                     eval_params = ft_state.params
                     out_noft = eval_step(state.params, image_n, label)
                     scores_noft[vidx] = float(out_noft["score"])
                 out = eval_step(eval_params, image_n, label)
                 scores[vidx] = float(out["score"])
+                # --save_more_reference val panel, one case per epoch:
+                # [recon_pred c1, gt c1, pred c1] (main_target.py:916-920)
+                if cfg.save_more_reference and pos == epoch % n_val_cases \
+                        and out.get("recon") is not None:
+                    onehot = L.one_hot_label(label, n_class)
+                    display_image["venous_pancreas_display_val"] = \
+                        mid_slice_panel(out["recon"][..., 1], onehot[..., 1],
+                                        out["pred"][..., 1])
                 if analysis_step is not None:
                     am = analysis_step(eval_params, teacher_params, image_n,
                                        label)
@@ -443,6 +465,16 @@ def run(cfg: TargetConfig) -> float:
                               "Pseudo_loss", "Recon_loss")
             draw.scatter_plot_multi(fig, fig_gt, "analysis")
 
+        # post-eval train-batch panel: [recon_pred c1, gt c1, pred c1,
+        # pseudo c1] on train case epoch%len (main_target.py:999-1010)
+        if cfg.save_more_reference and not cfg.test_only and \
+                m == "domain_adaptation":
+            panel = _train_display_panel(cfg, eval_step, teacher_seg_fwd,
+                                         state.params, teacher_params, epoch,
+                                         n_class)
+            if panel is not None:
+                display_image["venous_pancreas_display_train"] = panel
+
         runner.dump_scores(epoch, scores)
         if scores_noft:
             runner.dump_scores(epoch, scores_noft, name="score_noft")
@@ -451,11 +483,11 @@ def run(cfg: TargetConfig) -> float:
                 [("val_result", dsc),
                  ("val_result_no_finetune",
                   sum(scores_noft.values()) / max(len(scores_noft), 1))],
-                force_write=True)
+                display_image or None, force_write=True)
         else:
             runner.saver.write_display(
                 (epoch + 1) * len(train_loader), [("val_result", dsc)],
-                force_write=True)
+                display_image or None, force_write=True)
         print("Time: {}".format(time.time() - t_eval))
         runner.end_of_epoch(epoch, dsc, state.params, state.opt_state)
         best = runner.best_result
@@ -467,6 +499,33 @@ def run(cfg: TargetConfig) -> float:
 
 
 # --------------------------------------------------------------------------
+
+def _train_display_panel(cfg, eval_step, teacher_seg_fwd, params,
+                         teacher_params, epoch, n_class):
+    """Post-eval TB panel of one train case (main_target.py:999-1010):
+    [recon_pred c1, gt c1, pred c1, binarized-teacher-pseudo c1] mid-W
+    slices. The reference iterates a second train loader and keeps batch
+    epoch%len; we index the case directly. Deviation (documented): the case
+    goes through the val normalization (no random warp)."""
+    from vae_segmentation_tpu.data.manifest import filedict_from_json
+    from vae_segmentation_tpu.data.pipeline import CaseDataset
+    from vae_segmentation_tpu.data.transforms import parse_pan_index
+
+    entries = filedict_from_json(cfg.data_path, cfg.train_list, 1)
+    ds = CaseDataset(entries, cfg.data_root,
+                     mask_index=parse_pan_index(cfg.pan_index),
+                     output_size=cfg.patch_size)
+    case = ds[epoch % len(ds)]
+    image_n = common._val_ingest(jnp.asarray(case["image"])[None])
+    label = jnp.asarray(case["label"])[None]
+    out = eval_step(params, image_n, label)
+    if out.get("recon") is None:
+        return None
+    onehot = L.one_hot_label(label, n_class)
+    pseudo = L.binarize(teacher_seg_fwd(teacher_params, image_n[..., None]))
+    return mid_slice_panel(out["recon"][..., 1], onehot[..., 1],
+                           out["pred"][..., 1], pseudo[..., 1])
+
 
 def model_seg_view(joint: Joint):
     """A callable module view exposing only the Seg forward of a Joint —

@@ -98,13 +98,19 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Parameter-free InstanceNorm over spatial dims of [B, D, H, W, C].
 
     torch nn.InstanceNorm3d(C) defaults: affine=False, no running stats,
-    eps=1e-5, biased variance (joint_model.py:11). Statistics in fp32.
-    """
-    orig_dtype = x.dtype
-    x32 = x.astype(jnp.float32)
+    eps=1e-5, biased variance (joint_model.py:11). Statistics accumulate in
+    fp32 (the upcast fuses into the reduces); the normalize runs in the
+    compute dtype — a f32 normalize makes XLA materialize a full f32 copy
+    of the activation plus a layout permute feeding the next conv (see
+    ops/s2d.py::instance_norm_folded). scale/shift are per-(B, C) f32
+    scalars, so only one bf16 multiply-add of rounding is added."""
+    x32 = x.astype(jnp.float32)  # consumed only by the reduces -> fused
     mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
     var = jnp.var(x32, axis=(1, 2, 3), keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(orig_dtype)
+    rstd = jax.lax.rsqrt(var + eps)
+    scale = rstd.astype(x.dtype)
+    shift = (-mean * rstd).astype(x.dtype)
+    return x * scale + shift
 
 
 def gs_norm(x: jax.Array, num_group: int = 1, eps: float = 1e-4) -> jax.Array:

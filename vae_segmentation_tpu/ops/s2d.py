@@ -206,11 +206,20 @@ def instance_norm_folded(xf: jax.Array, c: int, eps: float = 1e-5
     dominant copy traffic in the step trace, BENCH.md). Instead the
     spatial reduce runs on the natural [B, *, 8C] layout, the tiny [B, 8C]
     sums are regrouped to channels, and the normalize is one fused
-    elementwise pass."""
+    elementwise pass.
+
+    Precision split: statistics accumulate in f32 (the upcast fuses into
+    the reduces — never materialized), the normalize runs in the compute
+    dtype. Keeping the normalize in f32 makes XLA materialize the f32
+    upcast of every stage activation plus a permuted-layout copy feeding
+    the next conv (~17 ms/stage at 128^3 b4, the #1 copy source in the
+    round-2 trace). scale/shift are per-(B, C) f32 scalars, so the only
+    rounding added is one bf16 multiply-add on values already stored in
+    bf16."""
     b = xf.shape[0]
     fc = xf.shape[-1]
     n = math.prod(xf.shape[1:-1]) * (fc // c)
-    x32 = xf.astype(jnp.float32)
+    x32 = xf.astype(jnp.float32)  # consumed ONLY by the reduces -> fused
     s = jnp.sum(x32, axis=(1, 2, 3))                # [B, 8C], fused reduce
     ss = jnp.sum(jnp.square(x32), axis=(1, 2, 3))   # [B, 8C]
     s = s.reshape(b, fc // c, c).sum(axis=1)        # [B, C] (tiny)
@@ -218,10 +227,10 @@ def instance_norm_folded(xf: jax.Array, c: int, eps: float = 1e-5
     mean = s / n
     var = ss / n - mean * mean
     rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
-    scale = jnp.tile(rstd, (1, fc // c))            # [B, 8C]
-    shift = jnp.tile(-mean * rstd, (1, fc // c))
-    out = x32 * scale[:, None, None, None, :] + shift[:, None, None, None, :]
-    return out.astype(xf.dtype)
+    scale = jnp.tile(rstd, (1, fc // c)).astype(xf.dtype)     # [B, 8C]
+    shift = jnp.tile(-mean * rstd, (1, fc // c)).astype(xf.dtype)
+    return xf * scale[:, None, None, None, :] \
+        + shift[:, None, None, None, :]
 
 
 def softmax_folded(xf: jax.Array, c: int) -> jax.Array:

@@ -88,9 +88,14 @@ def default_sched(lambda_vae: float) -> Dict[str, jnp.ndarray]:
 # --------------------------------------------------------------------------
 
 def make_vae_train_step(model, tx, n_class: int, *, scale: float = 0.35,
-                        kl_weight: float = 2e-5, eps: float = L.SOURCE_EPS):
+                        kl_weight: float = 2e-5, eps: float = L.SOURCE_EPS,
+                        return_display: bool = False):
     """VAE shape-prior step (main_source.py:389-413):
-    loss = (1 - avg_dsc(recon, onehot)[1:]) + 2e-5 * KL, reparam scale 0.35."""
+    loss = (1 - avg_dsc(recon, onehot)[1:]) + 2e-5 * KL, reparam scale 0.35.
+
+    return_display adds the reference's train-time TB panel to the aux dict:
+    [gt class0, gt class1, recon class1] mid-W slices of sample 0
+    (main_source.py:394-396)."""
 
     def step(state: TrainState, label: jax.Array, key: jax.Array):
         onehot = L.one_hot_label(label, n_class)
@@ -102,12 +107,18 @@ def make_vae_train_step(model, tx, n_class: int, *, scale: float = 0.35,
             dsc_loss = 1.0 - L.avg_dsc(recon, onehot, botindex=1,
                                        topindex=n_class, eps=eps)
             klv = L.kl_loss(mean, std)
-            return dsc_loss + kl_weight * klv, (dsc_loss, klv)
+            return dsc_loss + kl_weight * klv, (dsc_loss, klv, recon)
 
-        (_, (dsc_loss, klv)), grads = jax.value_and_grad(
+        (_, (dsc_loss, klv, recon)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = _apply_updates(state, tx, grads)
-        return new_state, {"dice_loss": dsc_loss, "kl_loss": klv}
+        aux = {"dice_loss": dsc_loss, "kl_loss": klv}
+        if return_display:
+            w2 = onehot.shape[3] // 2
+            aux["display"] = jax.lax.stop_gradient(jnp.stack([
+                onehot[0, :, :, w2, 0], onehot[0, :, :, w2, 1],
+                recon[0, :, :, w2, 1].astype(jnp.float32)]))
+        return new_state, aux
 
     return jax.jit(step, donate_argnums=(0,))
 

@@ -95,12 +95,21 @@ def main():
                               jax.random.fold_in(key, i), sched)
         float(metrics["dice_loss"])
 
+    # Timed region: dispatch all steps asynchronously (each step consumes the
+    # previous state, so execution is strictly sequential on device) and sync
+    # ONCE on the last step's metric — a per-step host sync would add a
+    # ~30 ms tunnel round trip to every step, which is dispatch overhead of
+    # this harness, not step cost. Training loops behave like this too: they
+    # only fetch metrics at display_freq boundaries.
+    all_metrics = []
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, metrics = step(state, teacher, image, label,
                               jax.random.fold_in(key, WARMUP + i), sched)
-        assert np.isfinite(float(metrics["dice_loss"]))
+        all_metrics.append(metrics["dice_loss"])
+    float(all_metrics[-1])
     dt = time.perf_counter() - t0
+    assert all(np.isfinite(float(m)) for m in all_metrics)
 
     value = ITERS / dt
     print(json.dumps({

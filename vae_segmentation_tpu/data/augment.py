@@ -18,8 +18,11 @@ Reference semantics reproduced:
 
 Deliberate TPU-first deviation: image interpolation is trilinear (order 1),
 not the reference's order-3 cubic spline — jax map_coordinates supports
-order <= 1, and for training augmentation the distributional difference is
-negligible (validated statistically in tests/test_augment.py).
+order <= 1. Everything else (coordinate math, crop-center law, scipy
+'constant' border semantics) is golden-fixture-exact against a scipy oracle
+of batchgenerators augment_spatial, and the order-3-vs-order-1 delta is
+quantified and bounded there (tests/test_augment.py: mean |Δ| < 1.5% of
+dynamic range on CT-like content).
 
 The whole thing runs inside jit: ~130 MB of coordinate math per batch of 4
 that the reference spent 16 host worker processes on.
@@ -63,16 +66,14 @@ def _zero_centered_mesh(patch_size: Tuple[int, int, int]) -> jax.Array:
     return jnp.stack(grid, axis=0)
 
 
-def _sample_affine_coords(key: jax.Array, patch_size, in_shape) -> jax.Array:
-    """Random rotate+scale+crop-center coordinates for one sample."""
+def sample_affine_params(key: jax.Array, patch_size, in_shape):
+    """Draw (angles[3], scale, center[3]) exactly as batchgenerators'
+    augment_spatial does for the reference's config (rotation always on,
+    scale always on with the 50/50 zoom-in/zoom-out split draw, random crop
+    center uniform in [dist, shape - dist])."""
     k_rot, k_scale_branch, k_scale, k_ctr = jax.random.split(key, 4)
-    coords = _zero_centered_mesh(patch_size)
-
-    angles = jax.random.uniform(k_rot, (3,), minval=-ROT_RANGE, maxval=ROT_RANGE)
-    m = _rotation_matrix(angles[0], angles[1], angles[2])
-    flat = coords.reshape(3, -1)
-    coords = (m.T @ flat).reshape(coords.shape)
-
+    angles = jax.random.uniform(k_rot, (3,), minval=-ROT_RANGE,
+                                maxval=ROT_RANGE)
     # batchgenerators' split scale draw (augment_spatial):
     # 50%: uniform(scale_lo, 1); 50%: uniform(1, scale_hi)
     zoom_in = jax.random.bernoulli(k_scale_branch, 0.5)
@@ -80,23 +81,53 @@ def _sample_affine_coords(key: jax.Array, patch_size, in_shape) -> jax.Array:
     sc = jnp.where(zoom_in,
                    SCALE_RANGE[0] + u * (1.0 - SCALE_RANGE[0]),
                    1.0 + u * (SCALE_RANGE[1] - 1.0))
-    coords = coords * sc
-
     # random crop center, uniform in [dist, shape - dist]
     dist = jnp.array([p // 2 - 5 for p in patch_size], jnp.float32)
     shape = jnp.array(in_shape, jnp.float32)
     ctr = dist + jax.random.uniform(k_ctr, (3,)) * (shape - 2.0 * dist)
-    return coords + ctr[:, None, None, None]
+    return angles, sc, ctr
 
 
-def _warp_one(image: jax.Array, label: jax.Array, key: jax.Array,
-              patch_size) -> Tuple[jax.Array, jax.Array]:
-    coords = _sample_affine_coords(key, patch_size, image.shape)
+def affine_coords(angles: jax.Array, scale: jax.Array, center: jax.Array,
+                  patch_size) -> jax.Array:
+    """Deterministic sampling grid [3, *patch] for given affine params —
+    the coordinate math of batchgenerators augment_spatial (mesh -> rotate
+    -> scale -> shift to crop center). Exposed separately so golden-fixture
+    tests can replay recorded draws (tests/test_augment.py)."""
+    coords = _zero_centered_mesh(patch_size)
+    m = _rotation_matrix(angles[0], angles[1], angles[2])
+    flat = coords.reshape(3, -1)
+    coords = (m.T @ flat).reshape(coords.shape)
+    coords = coords * scale
+    return coords + center[:, None, None, None]
+
+
+def warp_with_params(image: jax.Array, label: jax.Array, angles, scale,
+                     center, patch_size) -> Tuple[jax.Array, jax.Array]:
+    """Warp one (image, label) volume with explicit affine params.
+
+    Border semantics match scipy/batchgenerators mode='constant' exactly
+    (golden-fixture-tested): any sample whose coordinate falls outside
+    [0, n-1] on ANY axis is the hard fill value — scipy does NOT blend cval
+    into border voxels the way jax's map_coordinates 'constant' mode does,
+    so the fill is applied as an explicit mask."""
+    coords = affine_coords(angles, scale, center, patch_size)
+    inside = jnp.ones(coords.shape[1:], bool)
+    for ax in range(3):
+        c = coords[ax]
+        inside &= (c >= 0.0) & (c <= image.shape[ax] - 1.0)
     img_out = map_coordinates(image, list(coords), order=1, mode="constant",
                               cval=BORDER_CVAL_DATA)
     lab_out = map_coordinates(label, list(coords), order=0, mode="constant",
                               cval=0.0)
-    return img_out, lab_out
+    return (jnp.where(inside, img_out, BORDER_CVAL_DATA),
+            jnp.where(inside, lab_out, 0.0))
+
+
+def _warp_one(image: jax.Array, label: jax.Array, key: jax.Array,
+              patch_size) -> Tuple[jax.Array, jax.Array]:
+    angles, sc, ctr = sample_affine_params(key, patch_size, image.shape)
+    return warp_with_params(image, label, angles, sc, ctr, patch_size)
 
 
 @partial(jax.jit, static_argnames=("patch_size",))

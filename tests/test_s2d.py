@@ -199,3 +199,79 @@ def test_grad_through_folded_conv(rng, x8):
     gr = jax.grad(loss_ref)(k)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# W-packing (the 128-lane production rep: s2d.fold_w on top of fold)
+# ---------------------------------------------------------------------------
+
+def test_fold_w_roundtrip(x8):
+    xf = s2d.fold(x8)
+    np.testing.assert_array_equal(
+        np.asarray(s2d.unfold_w(s2d.fold_w(xf))), np.asarray(xf))
+    np.testing.assert_array_equal(
+        np.asarray(s2d.unfold_rep(s2d.fold_rep(x8, True), x8.shape[-1])),
+        np.asarray(x8))
+
+
+def test_conv3_wpacked_exact(rng, x8):
+    """3^3 SAME conv == stencil algebra on the W-PACKED rep."""
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)) * 0.3, jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x8, k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    kw = s2d.expand_kernel_w(s2d.expand_kernel3_fast(k))
+    xw = s2d.fold_w(s2d.fold(x8))
+    got = jax.lax.conv_general_dilated(
+        xw, kw, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = s2d.unfold_rep(got, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_down_conv_wpacked_exact(rng, x8):
+    """Stride-2 2^3 conv == 1^3 conv on the W-PACKED rep (W-PAIRED out)."""
+    k = jnp.asarray(rng.normal(size=(2, 2, 2, 3, 6)) * 0.3, jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x8, k, (2, 2, 2), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    xw = s2d.fold_w(s2d.fold(x8))
+    got = jax.lax.conv_general_dilated(
+        xw, s2d.expand_down_kernel_w(k), (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = s2d.unfold_w(got)  # W-PAIRED coarse -> plain coarse
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_up_convtranspose_wpacked_exact(rng, x8):
+    """2^3 stride-2 ConvTranspose == width-2 stride-2 conv emitting the
+    W-PACKED folded rep."""
+    k = jnp.asarray(rng.normal(size=(2, 2, 2, 3, 4)) * 0.3, jnp.float32)
+    want = jax.lax.conv_transpose(
+        x8, k, strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = jax.lax.conv_general_dilated(
+        x8, s2d.expand_up_kernel_w(k), (1, 1, s2d.WPACK), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = s2d.unfold_rep(got, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_norm_softmax_wpacked_exact(rng, x8):
+    """instance_norm_folded / softmax_folded are rep-agnostic: identical
+    numbers on the W-PACKED rep (stats group per original channel)."""
+    from vae_segmentation_tpu.models.blocks import instance_norm
+
+    c = x8.shape[-1]
+    xw = s2d.fold_w(s2d.fold(x8))
+    got_n = s2d.unfold_rep(s2d.instance_norm_folded(xw, c), c)
+    np.testing.assert_allclose(np.asarray(got_n),
+                               np.asarray(instance_norm(x8)),
+                               rtol=1e-4, atol=1e-4)
+    got_s = s2d.unfold_rep(s2d.softmax_folded(xw, c), c)
+    want_s = jax.nn.softmax(x8.astype(jnp.float32), axis=-1)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)

@@ -23,5 +23,5 @@ lab = jnp.zeros((B,S,S,S), jnp.float32)
 lowered = step.lower(st, teacher, image, lab, jax.random.PRNGKey(1), sched)
 compiled = lowered.compile()
 txt = compiled.as_text()
-open("/root/trace_out/adapt_hlo.txt","w").write(txt)
+open("/root/repo/.trace_out/adapt_hlo.txt","w").write(txt)
 print("HLO dumped", len(txt))

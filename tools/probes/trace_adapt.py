@@ -23,10 +23,10 @@ image = jnp.asarray(rng.normal(size=(B,S,S,S)), jnp.float32)
 lab = jnp.asarray(rng.random((B,S,S,S))>0.9, jnp.float32)
 st, m = step(st, teacher, image, lab, key, sched); float(m["dice_loss"])
 print("warm", flush=True)
-os.makedirs("/root/trace_out", exist_ok=True)
-with jax.profiler.trace("/root/trace_out"):
+os.makedirs("/root/repo/.trace_out", exist_ok=True)
+with jax.profiler.trace("/root/repo/.trace_out"):
     for i in range(3):
         st, m = step(st, teacher, image, lab, jax.random.fold_in(key,i), sched)
         float(m["dice_loss"])
 print("traced", flush=True)
-print(glob.glob("/root/trace_out/**/*", recursive=True), flush=True)
+print(glob.glob("/root/repo/.trace_out/**/*", recursive=True), flush=True)

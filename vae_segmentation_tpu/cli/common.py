@@ -230,6 +230,12 @@ def make_mesh_if_multichip(cfg: CommonConfig):
               f"--spatial_shards to occupy the slice")
     if n_data == 1 and n_spatial == 1:
         return None
+    # The Pallas stencil conv is not GSPMD-partitionable yet — under a mesh
+    # the folded convs run through XLA (which GSPMD shards, incl. the
+    # spatial halo exchange). Single-chip runs keep the stencil fast path.
+    from vae_segmentation_tpu.models.blocks import set_stencil_enabled
+
+    set_stencil_enabled(False)
     return parallel.make_mesh(n_data=n_data, n_spatial=n_spatial)
 
 

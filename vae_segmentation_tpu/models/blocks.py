@@ -42,6 +42,32 @@ def use_s2d() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_STENCIL_FORCE_OFF = False
+
+
+def set_stencil_enabled(on: bool) -> None:
+    """Trainer-level gate: the Pallas stencil conv is not yet
+    GSPMD-partitionable, so the CLIs disable it when running under a
+    multi-device mesh (parallel/sharding.py handles those convs via XLA)."""
+    global _STENCIL_FORCE_OFF
+    _STENCIL_FORCE_OFF = not on
+
+
+def use_stencil() -> bool:
+    """Route folded 3^3 convs through the Pallas stencil kernel
+    (ops/pallas/stencil3.py) — ON by default on TPU, where it runs the
+    folded stages at ~MXU peak vs the conv emitter's tap-expanded fusions
+    (BENCH.md round 2). Off-TPU the XLA folded conv is used (the kernel
+    itself still runs in interpret mode for tests). VAESEG_STENCIL=0/1
+    overrides."""
+    if _STENCIL_FORCE_OFF:
+        return False
+    env = os.environ.get("VAESEG_STENCIL")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def use_pallas_norm() -> bool:
     """Route InstanceNorm+ReLU through the fused Pallas kernel
     (ops/pallas/instance_norm.py) when VAESEG_PALLAS=1.
@@ -58,6 +84,15 @@ def use_pallas_norm() -> bool:
 
 # Feature maps used by every model in the zoo (joint_model.py:207,276,352,395).
 DEFAULT_FMAPS = (8, 16, 32, 64, 128, 256)
+
+
+def stage_wpack(fmaps: Sequence[int] = DEFAULT_FMAPS) -> bool:
+    """Whether the full-resolution folded stages use the W-PACKED rep
+    (s2d.fold_w): pack when the folded channel count (8 * fmaps[0]) is below
+    the 128-lane tile, so the stage tensors fill the lanes exactly."""
+    from vae_segmentation_tpu.ops import s2d
+
+    return s2d.NB * fmaps[0] < 128
 
 
 def torch_uniform_init(fan_in_from: str = "conv"):
@@ -199,14 +234,19 @@ class Conv3(nn.Module):
     padding: Any = "SAME"
     dtype: Dtype = jnp.bfloat16
     mode: str = "normal"
+    # the folded tensor this conv touches is in the W-PACKED rep
+    # (s2d.fold_w on top of the fold — the 128-lane production format of
+    # every 128^3-logical stage; see ops/s2d.py)
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x):
         from vae_segmentation_tpu.ops import s2d
 
+        pack = s2d.WPACK if self.wpack else 1
         in_ch = x.shape[-1]
         if self.mode in ("folded", "fold_consume"):
-            in_ch = in_ch // s2d.NB  # params keep the UNfolded shape
+            in_ch = in_ch // (s2d.NB * pack)  # params keep the UNfolded shape
         kshape = (*self.kernel, in_ch, self.features)
         fan_in = math.prod(self.kernel) * in_ch
         k = self.param("kernel", torch_uniform_init("conv"), kshape,
@@ -219,20 +259,36 @@ class Conv3(nn.Module):
                 xd, k.astype(self.dtype), tuple(self.strides), self.padding,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         elif self.mode == "folded":
-            y = s2d.conv3_folded(xd, k, dtype=self.dtype)
-        elif self.mode == "fold_consume":
+            ke = s2d.expand_kernel3_fast(k)
+            if self.wpack:
+                ke = s2d.expand_kernel_w(ke)
+            bias_f = jnp.tile(b, s2d.NB * pack)
+            if use_stencil() and xd.shape[3] % 8 == 0:
+                from vae_segmentation_tpu.ops.pallas.stencil3 import \
+                    conv3_stencil
+
+                return conv3_stencil(xd, ke.astype(self.dtype), bias_f)
             y = jax.lax.conv_general_dilated(
-                xd, s2d.expand_down_kernel(k).astype(self.dtype),
-                (1, 1, 1), "VALID",
+                xd, ke.astype(self.dtype), (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            return y + bias_f.astype(self.dtype)
+        elif self.mode == "fold_consume":
+            kd = s2d.expand_down_kernel_w(k) if self.wpack \
+                else s2d.expand_down_kernel(k)
+            y = jax.lax.conv_general_dilated(
+                xd, kd.astype(self.dtype), (1, 1, 1), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            # wpack: output is the W-PAIRED coarse tensor (two coarse voxels
+            # per position in channels); the Down module un-pairs it.
+            return y + jnp.tile(b, pack).astype(self.dtype)
         elif self.mode == "fold_input":
             y = s2d.fold_conv(xd, k, dtype=self.dtype)
+            if self.wpack:
+                y = s2d.fold_w(y)
+            return y + jnp.tile(b, s2d.NB * pack).astype(self.dtype)
         else:
             raise ValueError(self.mode)
-        bias = b.astype(self.dtype)
-        if self.mode in ("folded", "fold_input"):
-            bias = jnp.tile(bias, s2d.NB)
-        return y + bias
+        return y + b.astype(self.dtype)
 
 
 class TConv2(nn.Module):
@@ -243,6 +299,7 @@ class TConv2(nn.Module):
     features: int
     dtype: Dtype = jnp.bfloat16
     fold_emit: bool = False
+    wpack: bool = False  # fold_emit target rep is W-PACKED (s2d.fold_w)
 
     @nn.compact
     def __call__(self, x):
@@ -254,6 +311,12 @@ class TConv2(nn.Module):
         b = self.param("bias", torch_bias_init(8 * in_ch),
                        (self.features,), jnp.float32)
         xd = x.astype(self.dtype)
+        if self.fold_emit and self.wpack:
+            y = jax.lax.conv_general_dilated(
+                xd, s2d.expand_up_kernel_w(k).astype(self.dtype),
+                (1, 1, s2d.WPACK), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            return y + jnp.tile(b.astype(self.dtype), s2d.NB * s2d.WPACK)
         if self.fold_emit:
             y = jax.lax.conv_general_dilated(
                 xd, s2d.expand_up_kernel(k).astype(self.dtype),
@@ -277,12 +340,14 @@ class ConvNormAct(nn.Module):
     dtype: Dtype = jnp.bfloat16
     folded: bool = False
     fold_input: bool = False  # raw input, fused fold (s2d.fold_conv)
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x):
         mode = "fold_input" if self.fold_input else (
             "folded" if self.folded else "normal")
-        x = Conv3(self.features, dtype=self.dtype, mode=mode)(x)
+        x = Conv3(self.features, dtype=self.dtype, mode=mode,
+                  wpack=self.wpack)(x)
         fc = self.features if (self.folded or self.fold_input) else 0
         return _norm_act(x, self.norm_type, self.soft, folded_c=fc)
 
@@ -296,12 +361,14 @@ class DoubleConv(nn.Module):
     soft: bool = False
     dtype: Dtype = jnp.bfloat16
     folded: bool = False
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x):
         mode = "folded" if self.folded else "normal"
         for _ in range(3):
-            x = Conv3(self.features, dtype=self.dtype, mode=mode)(x)
+            x = Conv3(self.features, dtype=self.dtype, mode=mode,
+                      wpack=self.wpack)(x)
             x = _norm_act(x, self.norm_type, self.soft,
                           folded_c=self.features if self.folded else 0)
         return x
@@ -322,15 +389,20 @@ class Down(nn.Module):
     dtype: Dtype = jnp.bfloat16
     folded_in: bool = False
     folded_out: bool = False
+    wpack_in: bool = False  # the folded input is W-PACKED (s2d.fold_w)
 
     @nn.compact
     def __call__(self, x):
         from vae_segmentation_tpu.ops import s2d
 
-        in_ch = x.shape[-1] // (s2d.NB if self.folded_in else 1)
+        pack = s2d.NB * (s2d.WPACK if self.wpack_in else 1)
+        in_ch = x.shape[-1] // (pack if self.folded_in else 1)
         x = Conv3(in_ch, kernel=(2, 2, 2), strides=(2, 2, 2),
                   padding="VALID", dtype=self.dtype,
-                  mode="fold_consume" if self.folded_in else "normal")(x)
+                  mode="fold_consume" if self.folded_in else "normal",
+                  wpack=self.wpack_in)(x)
+        if self.wpack_in:
+            x = s2d.unfold_w(x)  # W-PAIRED coarse -> plain coarse
         if self.folded_out:
             x = s2d.fold(x)
         return DoubleConv(self.features, self.norm_type, self.soft,
@@ -352,6 +424,7 @@ class Up(nn.Module):
     dtype: Dtype = jnp.bfloat16
     folded_in: bool = False
     folded_out: bool = False
+    wpack_out: bool = False  # the folded output rep is W-PACKED
 
     @nn.compact
     def __call__(self, x):
@@ -360,9 +433,11 @@ class Up(nn.Module):
         if self.folded_in:
             x = s2d.unfold(x)
         in_ch = x.shape[-1]
-        x = TConv2(in_ch, dtype=self.dtype, fold_emit=self.folded_out)(x)
+        x = TConv2(in_ch, dtype=self.dtype, fold_emit=self.folded_out,
+                   wpack=self.wpack_out)(x)
         return DoubleConv(self.features, self.norm_type, self.soft,
-                          dtype=self.dtype, folded=self.folded_out)(x)
+                          dtype=self.dtype, folded=self.folded_out,
+                          wpack=self.wpack_out)(x)
 
 
 def remat_stage(cls, enabled: bool = True):
@@ -382,9 +457,11 @@ class OutConv(nn.Module):
     features: int
     dtype: Dtype = jnp.bfloat16
     folded: bool = False
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = Conv3(self.features, dtype=self.dtype,
-                  mode="folded" if self.folded else "normal")(x)
+                  mode="folded" if self.folded else "normal",
+                  wpack=self.wpack)(x)
         return x.astype(jnp.float32)

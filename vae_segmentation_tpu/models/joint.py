@@ -62,6 +62,11 @@ class Joint(nn.Module):
 
         return use_s2d() and self.norm_type == 1
 
+    def _wpack(self) -> bool:
+        from vae_segmentation_tpu.models.blocks import stage_wpack
+
+        return self._fold_active() and stage_wpack(self.fmaps)
+
     def setup(self):
         # static_argnums index (self, x, ...): the flag/rate args must be
         # static inside the checkpointed call — Joint calls them positionally
@@ -94,7 +99,8 @@ class Joint(nn.Module):
             pred, False, self.vae_forward_scale, False,
             self.vae_decoder_dropout if dropout else 0.0)
         if self._fold_active() and not self.folded_io:
-            pred, recon = s2d.unfold(pred), s2d.unfold(recon)
+            pred = s2d.unfold_rep(pred, self.n_class)
+            recon = s2d.unfold_rep(recon, self.n_class)
         return pred, recon, mean, std
 
     def segment(self, image: jax.Array, dropout: bool = False) -> jax.Array:
@@ -102,7 +108,7 @@ class Joint(nn.Module):
 
         pred = self.Seg(image, self.seg_dropout if dropout else 0.0)
         if self._fold_active() and not self.folded_io:
-            pred = s2d.unfold(pred)
+            pred = s2d.unfold_rep(pred, self.n_class)
         return pred
 
     def encode_pred(self, pred: jax.Array):
@@ -111,7 +117,7 @@ class Joint(nn.Module):
         from vae_segmentation_tpu.ops import s2d
 
         if self._fold_active() and not self.folded_io:
-            pred = s2d.fold(pred)
+            pred = s2d.fold_rep(pred, self._wpack())
         return self.Vae.encode(pred)
 
     def vae_forward(self, x: jax.Array, if_random: bool = False,
@@ -122,14 +128,14 @@ class Joint(nn.Module):
 
         fold = self._fold_active()
         if fold and not mid_input:
-            x = s2d.fold(x)
+            x = s2d.fold_rep(x, self._wpack())
         out = self.Vae(x, if_random, scale, mid_input, dropout)
         if not fold:
             return out
         if mid_input:
-            return s2d.unfold(out)
+            return s2d.unfold_rep(out, self.n_class)
         recon, mean, std = out
-        return s2d.unfold(recon), mean, std
+        return s2d.unfold_rep(recon, self.n_class), mean, std
 
 
 class Joint2(nn.Module):

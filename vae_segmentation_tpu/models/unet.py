@@ -53,22 +53,28 @@ class SegUNet(nn.Module):
         return use_s2d() if self.s2d is None else bool(self.s2d)
 
     def setup(self):
+        from vae_segmentation_tpu.models.blocks import stage_wpack
+
         f = self.fmaps
         fold = self._s2d() and self.norm_type == 1
+        wp = fold and stage_wpack(f)  # W-PACKED full-res rep (ops/s2d.py)
         CNA = remat_stage(ConvNormAct, self.remat)
         RDown = remat_stage(Down, self.remat)
         RUp = remat_stage(Up, self.remat)
         kw = dict(norm_type=self.norm_type, dtype=self.dtype)
-        self.in_block = CNA(f[0], fold_input=fold, **kw)
-        self.down1 = RDown(f[1], folded_in=fold, folded_out=fold, **kw)
+        self.in_block = CNA(f[0], fold_input=fold, wpack=wp, **kw)
+        self.down1 = RDown(f[1], folded_in=fold, folded_out=fold,
+                           wpack_in=wp, **kw)
         self.down2 = RDown(f[2], folded_in=fold, **kw)
         self.down3 = RDown(f[3], **kw)
         self.down4 = RDown(f[4], **kw)
         self.up2 = RUp(f[3], **kw)
         self.up3 = RUp(f[2], **kw)
         self.up4 = RUp(f[1], folded_out=fold, **kw)
-        self.up5 = RUp(f[0], folded_in=fold, folded_out=fold, **kw)
-        self.out_block = OutConv(self.n_class, dtype=self.dtype, folded=fold)
+        self.up5 = RUp(f[0], folded_in=fold, folded_out=fold,
+                       wpack_out=wp, **kw)
+        self.out_block = OutConv(self.n_class, dtype=self.dtype, folded=fold,
+                                 wpack=wp)
 
     def __call__(self, x: jax.Array, dropout: float = 0.0) -> jax.Array:
         from vae_segmentation_tpu.ops import s2d as s2d_ops
@@ -92,6 +98,7 @@ class SegUNet(nn.Module):
         # f32 probability volume is 2 GB at 128^3 batch 4 (HBM-decisive)
         if fold:
             h = s2d_ops.softmax_folded(h, self.n_class).astype(self.dtype)
-            return h if self.folded_out else s2d_ops.unfold(h)
+            return h if self.folded_out else s2d_ops.unfold_rep(h,
+                                                                self.n_class)
         return jax.nn.softmax(h.astype(jnp.float32), axis=-1) \
             .astype(self.dtype)

@@ -73,15 +73,20 @@ class ShapeVAE(nn.Module):
         return use_s2d() if self.s2d is None else bool(self.s2d)
 
     def setup(self):
+        from vae_segmentation_tpu.models.blocks import stage_wpack
+
         f = self.fmaps
         fold = self._s2d() and self.norm_type == 1
+        wp = fold and stage_wpack(f)  # W-PACKED full-res rep (ops/s2d.py)
         CNA = remat_stage(ConvNormAct, self.remat)
         RDown = remat_stage(Down, self.remat)
         RUp = remat_stage(Up, self.remat)
         kw = dict(norm_type=self.norm_type, soft=self.soft, dtype=self.dtype)
         self.in_block = CNA(f[0], folded=fold and self.folded_io,
-                            fold_input=fold and not self.folded_io, **kw)
-        self.down1 = RDown(f[1], folded_in=fold, folded_out=fold, **kw)
+                            fold_input=fold and not self.folded_io,
+                            wpack=wp, **kw)
+        self.down1 = RDown(f[1], folded_in=fold, folded_out=fold,
+                           wpack_in=wp, **kw)
         self.down2 = RDown(f[2], folded_in=fold, **kw)
         self.down3 = RDown(f[3], **kw)
         self.down4 = RDown(f[4], **kw)
@@ -93,8 +98,10 @@ class ShapeVAE(nn.Module):
         self.up2 = RUp(f[3], **kw)
         self.up3 = RUp(f[2], **kw)
         self.up4 = RUp(f[1], folded_out=fold, **kw)
-        self.up5 = RUp(f[0], folded_in=fold, folded_out=fold, **kw)
-        self.out_block = OutConv(self.n_class, dtype=self.dtype, folded=fold)
+        self.up5 = RUp(f[0], folded_in=fold, folded_out=fold,
+                       wpack_out=wp, **kw)
+        self.out_block = OutConv(self.n_class, dtype=self.dtype, folded=fold,
+                                 wpack=wp)
 
     def encode(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """One-hot mask -> (mean, std), std >= 0 (joint_model.py:235-243).
@@ -128,7 +135,8 @@ class ShapeVAE(nn.Module):
         # 128^3 batch 4 per probability volume)
         if fold:
             x = s2d_ops.softmax_folded(x, self.n_class).astype(self.dtype)
-            return x if self.folded_io else s2d_ops.unfold(x)
+            return x if self.folded_io else s2d_ops.unfold_rep(x,
+                                                               self.n_class)
         return jax.nn.softmax(x, axis=-1).astype(self.dtype)
 
     def __call__(self, x: jax.Array, if_random: bool = False, scale: float = 1.0,

@@ -195,6 +195,94 @@ def conv3_folded(xf: jax.Array, k: jax.Array, dtype=None) -> jax.Array:
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
+# ---------------------------------------------------------------------------
+# "w-packing": a second fold along W only, used for folded stages whose
+# channel count (NB * C) is below the 128-lane tile — at the default fmaps
+# that is every 128^3-logical stage (NB * 8 = 64 lanes). Packing W-adjacent
+# folded blocks into channels gives [B, D/2, H/2, W/4, 2*NB*C]: 128 full
+# lanes, zero HBM padding, and MXU-shaped GEMMs for the stencil conv
+# (ops/pallas/stencil3.py). Algebraically it is just fold() with factor
+# (1, 1, 2) applied on top of the folded rep, so every fold_* identity
+# (norm/softmax/dice grouping, conv expansion) composes unchanged.
+# ---------------------------------------------------------------------------
+
+WPACK = 2  # extra fold factor along W
+
+
+def fold_w(x: jax.Array) -> jax.Array:
+    """[B, D, H, W, C] -> [B, D, H, W/2, 2C]; channel index eps_w * C + c
+    (position-major, same convention as fold())."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d, h, w // WPACK, WPACK, c)
+    return x.reshape(b, d, h, w // WPACK, WPACK * c)
+
+
+def unfold_w(x: jax.Array) -> jax.Array:
+    """Inverse of fold_w."""
+    b, d, h, w2, fc = x.shape
+    x = x.reshape(b, d, h, w2, WPACK, fc // WPACK)
+    return x.reshape(b, d, h, w2 * WPACK, fc // WPACK)
+
+
+def expand_kernel_w(k: jax.Array) -> jax.Array:
+    """Fold a 3-tap conv kernel [3,3,3,Ci,Co] along W by 2:
+    [3,3,3, 2Ci, 2Co] with K'[.., .., dw2, (eps, ci), (dlt, co)] =
+    k[.., .., t] at t = 2*dw2 + eps - dlt + 1 (zero outside 0..2) — the
+    same per-axis index rule as expand_kernel3, applied to one axis."""
+    ci, co = k.shape[3], k.shape[4]
+    tD = jnp.asarray(_AX)  # [3, F, F] with F == WPACK == 2
+    idx = tD  # [dw2, eps, dlt]
+    valid = idx >= 0
+    # gather k along the w-tap axis: [3,3, dw2, eps, dlt, ci, co]
+    g = k[:, :, jnp.clip(idx, 0)]
+    g = jnp.where(valid[None, None, :, :, :, None, None], g, 0.0)
+    # -> [3,3, dw2, (eps, ci), (dlt, co)]
+    g = g.transpose(0, 1, 2, 3, 5, 4, 6)
+    return g.reshape(3, 3, 3, WPACK * ci, WPACK * co)
+
+
+def expand_up_kernel_w(k: jax.Array) -> jax.Array:
+    """Stride-2 2^3 flax-ConvTranspose kernel [2,2,2,C,O] -> [1,1,2, C, 2*NB*O]
+    emitting the W-PACKED folded high-res rep from the unfolded coarse
+    tensor: a width-2 stride-2 conv along W pairing the two folded output
+    blocks into channels."""
+    c, o = k.shape[3], k.shape[4]
+    k1 = expand_up_kernel(k).reshape(c, NB * o)  # [C, 8O]
+    out = jnp.zeros((1, 1, WPACK, c, WPACK * NB * o), k.dtype)
+    for j in range(WPACK):
+        out = out.at[0, 0, j, :, j * NB * o:(j + 1) * NB * o].set(k1)
+    return out
+
+
+def expand_down_kernel_w(k: jax.Array) -> jax.Array:
+    """Stride-2 2^3 conv kernel [2,2,2,C,O] -> 1^3 kernel
+    [1,1,1, 2*NB*C, 2O] consuming the W-PACKED folded rep and emitting the
+    W-PAIRED coarse tensor (two coarse voxels per position in channels)."""
+    c, o = k.shape[3], k.shape[4]
+    k1 = expand_down_kernel(k).reshape(NB * c, o)
+    out = jnp.zeros((1, 1, 1, WPACK * NB * c, WPACK * o), k.dtype)
+    for j in range(WPACK):
+        out = out.at[0, 0, 0, j * NB * c:(j + 1) * NB * c,
+                     j * o:(j + 1) * o].set(k1)
+    return out
+
+
+def unfold_rep(x: jax.Array, c: int) -> jax.Array:
+    """Undo whichever folded rep x is in (inferred from the channel count):
+    [*, NB*c] -> plain unfold; [*, WPACK*NB*c] -> unfold_w then unfold."""
+    fc = x.shape[-1]
+    if fc == NB * c:
+        return unfold(x)
+    assert fc == WPACK * NB * c, (fc, c)
+    return unfold(unfold_w(x))
+
+
+def fold_rep(x: jax.Array, wpack: bool) -> jax.Array:
+    """fold(), optionally followed by fold_w (the production 128^3 rep)."""
+    xf = fold(x)
+    return fold_w(xf) if wpack else xf
+
+
 def instance_norm_folded(xf: jax.Array, c: int, eps: float = 1e-5
                          ) -> jax.Array:
     """InstanceNorm over (spatial + in-block positions) per ORIGINAL

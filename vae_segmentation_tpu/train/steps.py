@@ -40,19 +40,24 @@ from vae_segmentation_tpu.ops import s2d
 from vae_segmentation_tpu.train.optim import stop_gradient_frozen
 
 
-def _folded_onehot(label: jax.Array, n_class: int) -> jax.Array:
+def _folded_onehot(label: jax.Array, n_class: int,
+                   wpack: bool = False) -> jax.Array:
     """fold(one_hot(label)) computed the cheap way: fold the integer label
     volume (33 MB, not the 1 GB one-hot) then one-hot into a 6D view
-    [B, D/2, H/2, W/2, 8, C]."""
+    [B, D/2, H/2, W/2, P, C] (P = 8, or 16 in the W-PACKED production rep —
+    must match the model's folded output layout element-for-element)."""
     lab_f = s2d.fold(label[..., None])  # [B, D/2, H/2, W/2, 8]
+    if wpack:
+        lab_f = s2d.fold_w(lab_f)       # [B, D/2, H/2, W/4, 16]
     return jax.nn.one_hot(lab_f.astype(jnp.int32), n_class,
                           dtype=jnp.bfloat16)
 
 
 def _classes_view(x: jax.Array, n_class: int, folded: bool) -> jax.Array:
-    """Model output -> loss view: folded [*, 8C] -> 6D [*, 8, C]."""
+    """Model output -> loss view: folded [*, P*C] -> 6D [*, P, C] (works for
+    both the plain fold (P=8) and the W-PACKED rep (P=16))."""
     if folded:
-        return x.reshape(*x.shape[:-1], s2d.NB, n_class)
+        return x.reshape(*x.shape[:-1], -1, n_class)
     return x
 
 
@@ -194,7 +199,9 @@ class AdaptConfig:
     return_display: bool = False
     # the models exchange space-to-depth tensors (Joint folded_io=True):
     # labels are folded on device and every loss runs on the folded rep —
-    # dice sums are fold-invariant, so the numbers are identical
+    # dice sums are fold-invariant, so the numbers are identical. Whether
+    # that rep is additionally W-PACKED (s2d.fold_w) is derived from the
+    # model (models.blocks.stage_wpack) inside the step factories.
     folded: bool = False
 
 
@@ -332,10 +339,10 @@ def _student_mc_losses(model: Joint, params, img, onehot, pseudo, klv,
             # recon/gt/pred/pseudo mid-W slices of sample 0, class 1
             # (main_target.py:538-541 panel layout)
             if cfg.folded:
-                pred_d, recon_d, pseudo_d = (s2d.unfold(t) for t in
+                pred_d, recon_d, pseudo_d = (s2d.unfold_rep(t, n) for t in
                                              (pred, recon, pseudo))
-                onehot_d = s2d.unfold(
-                    onehot.reshape(*onehot.shape[:4], -1))
+                onehot_d = s2d.unfold_rep(
+                    onehot.reshape(*onehot.shape[:4], -1), n)
             else:
                 pred_d, recon_d, pseudo_d, onehot_d = (pred, recon, pseudo,
                                                        onehot)
@@ -360,11 +367,14 @@ def make_adapt_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig, *,
     and the grad; gradients flow through the (frozen) student VAE into the
     student Seg via the optimizer mask (train/optim.py). variant='pseudo'
     selects the --pseudo_list loss subset (adapt_loss docstring)."""
+    from vae_segmentation_tpu.models.blocks import stage_wpack
+
+    wp = cfg.folded and stage_wpack(model.fmaps)
 
     def step(state: TrainState, teacher_params, image, label, key,
              sched: Dict[str, jax.Array]):
         img = image[..., None]
-        onehot = _folded_onehot(label, cfg.n_class) if cfg.folded \
+        onehot = _folded_onehot(label, cfg.n_class, wp) if cfg.folded \
             else L.one_hot_label(label, cfg.n_class)
         t_pred, t_mean, t_std = _teacher_forward(teacher, teacher_params, img,
                                                  cfg.kl)
@@ -433,11 +443,14 @@ def make_finetune_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig):
     same adaptation loss in its 'finetune' variant, SGD(momentum=0) — the
     reference re-creates the optimizer every step (main_target.py:886-887),
     which with momentum 0 is stateless SGD."""
+    from vae_segmentation_tpu.models.blocks import stage_wpack
+
+    wp = cfg.folded and stage_wpack(model.fmaps)
 
     def step(state: TrainState, teacher_params, image, label, key,
              sched: Dict[str, jax.Array]):
         img = image[..., None]
-        onehot = _folded_onehot(label, cfg.n_class) if cfg.folded \
+        onehot = _folded_onehot(label, cfg.n_class, wp) if cfg.folded \
             else L.one_hot_label(label, cfg.n_class)
         t_pred, t_mean, t_std = _teacher_forward(teacher, teacher_params, img,
                                                  cfg.kl)

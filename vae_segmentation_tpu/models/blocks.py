@@ -255,6 +255,14 @@ class Conv3(nn.Module):
                        jnp.float32)
         xd = x.astype(self.dtype)
         if self.mode == "normal":
+            if use_stencil() and tuple(self.kernel) == (3, 3, 3) \
+                    and tuple(self.strides) == (1, 1, 1) \
+                    and self.padding == "SAME" and in_ch >= 32 \
+                    and xd.shape[3] >= 16 and xd.shape[3] % 8 == 0:
+                from vae_segmentation_tpu.ops.pallas.stencil3 import \
+                    conv3_stencil
+
+                return conv3_stencil(xd, k.astype(self.dtype), b)
             y = jax.lax.conv_general_dilated(
                 xd, k.astype(self.dtype), tuple(self.strides), self.padding,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
@@ -282,6 +290,20 @@ class Conv3(nn.Module):
             # per position in channels); the Down module un-pairs it.
             return y + jnp.tile(b, pack).astype(self.dtype)
         elif self.mode == "fold_input":
+            if use_stencil() and (xd.shape[3] // (2 * pack)) % 8 == 0:
+                # fold the RAW input first (a cheap reorg of the 1-channel
+                # volume) and run the entry conv as a folded stencil conv —
+                # XLA emits the fused 4^3-stride-2 fold_conv at ~1 TFLOP/s
+                # (9 ms/call at 128^3 b4, round-2 trace)
+                from vae_segmentation_tpu.ops.pallas.stencil3 import \
+                    conv3_stencil
+
+                xf = s2d.fold_rep(xd, self.wpack)
+                ke = s2d.expand_kernel3_fast(k)
+                if self.wpack:
+                    ke = s2d.expand_kernel_w(ke)
+                return conv3_stencil(xf, ke.astype(self.dtype),
+                                     jnp.tile(b, s2d.NB * pack))
             y = s2d.fold_conv(xd, k, dtype=self.dtype)
             if self.wpack:
                 y = s2d.fold_w(y)

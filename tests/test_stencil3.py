@@ -74,3 +74,66 @@ def test_bf16_path(rng):
     got = np.asarray(conv3_stencil(x, k, b).astype(jnp.float32))
     want = np.asarray(_xla_conv(x, k, b).astype(jnp.float32))
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+def test_grouped_folded_parity(rng):
+    """conv3_stencil_folded (grouped-tap path) == XLA conv with the SAME
+    expanded kernel, on both the plain-folded and W-PACKED reps, and the
+    gradient wrt the RAW weights (through the s2d expansion) matches."""
+    from vae_segmentation_tpu.ops import s2d
+    from vae_segmentation_tpu.ops.pallas.stencil3 import conv3_stencil_folded
+
+    for wpack in (False, True):
+        c_in, c_out = 16, 16   # folded 128 (or wpacked would need c=8)
+        if wpack:
+            c_in, c_out = 8, 8
+        x = jnp.asarray(rng.normal(size=(1, 4, 8, 32, c_in)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 3, c_in, c_out)) * 0.3,
+                        jnp.float32)
+        b = jnp.asarray(rng.normal(size=(c_out,)), jnp.float32)
+        xf = s2d.fold_rep(x, wpack)
+        bias_f = jnp.tile(b, s2d.NB * (s2d.WPACK if wpack else 1))
+
+        def expand(kk):
+            ke = s2d.expand_kernel3_fast(kk)
+            return s2d.expand_kernel_w(ke) if wpack else ke
+
+        def f_pal(kk):
+            y = conv3_stencil_folded(xf, expand(kk), bias_f, wpack)
+            return s2d.unfold_rep(y, c_out)
+
+        def f_xla(kk):
+            y = jax.lax.conv_general_dilated(
+                xf, expand(kk), (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bias_f
+            return s2d.unfold_rep(y, c_out)
+
+        got, want = f_pal(k), f_xla(k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"wpack={wpack} fwd")
+        # and both must equal the plain unfolded conv (fold exactness)
+        plain = jax.lax.conv_general_dilated(
+            x, k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(plain),
+                                   rtol=3e-4, atol=3e-4)
+
+        tgt = jnp.asarray(rng.normal(size=plain.shape), jnp.float32)
+        gp = jax.grad(lambda kk: jnp.mean(jnp.square(f_pal(kk) - tgt)))(k)
+        gx = jax.grad(lambda kk: jnp.mean(jnp.square(f_xla(kk) - tgt)))(k)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"wpack={wpack} dk")
+        gxp = jax.grad(lambda xx: jnp.mean(jnp.square(
+            s2d.unfold_rep(conv3_stencil_folded(
+                s2d.fold_rep(xx, wpack), expand(k), bias_f, wpack), c_out)
+            - tgt)))(x)
+        gxx = jax.grad(lambda xx: jnp.mean(jnp.square(
+            jax.lax.conv_general_dilated(
+                xx, k, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+            - tgt)))(x)
+        np.testing.assert_allclose(np.asarray(gxp), np.asarray(gxx),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"wpack={wpack} dx")

@@ -272,9 +272,14 @@ class Conv3(nn.Module):
                 ke = s2d.expand_kernel_w(ke)
             bias_f = jnp.tile(b, s2d.NB * pack)
             if use_stencil() and xd.shape[3] % 8 == 0:
-                from vae_segmentation_tpu.ops.pallas.stencil3 import \
-                    conv3_stencil
+                from vae_segmentation_tpu.ops.pallas.stencil3 import (
+                    conv3_stencil, conv3_stencil_folded)
 
+                if xd.shape[-1] >= 128:
+                    # grouped-tap path: exploits the fold structure to merge
+                    # the 27 tap-GEMMs into 8 (exact; stencil3.py)
+                    return conv3_stencil_folded(xd, ke.astype(self.dtype),
+                                                bias_f, self.wpack)
                 return conv3_stencil(xd, ke.astype(self.dtype), bias_f)
             y = jax.lax.conv_general_dilated(
                 xd, ke.astype(self.dtype), (1, 1, 1), "SAME",

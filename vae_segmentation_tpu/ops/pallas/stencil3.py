@@ -115,6 +115,202 @@ def _pack_kernel(k: jax.Array) -> jax.Array:
     return k.reshape(3, 3, 3 * k.shape[3], k.shape[4])
 
 
+# ---------------------------------------------------------------------------
+# Grouped-tap path for FOLD-STRUCTURED kernels (the production folded convs).
+#
+# An s2d-expanded kernel has disjoint per-axis support: the +1 tap only reads
+# fold-position-bit 0 input lanes (and writes bit-1 outputs), the -1 tap the
+# complement (ops/s2d.py tap rule, F=2 per axis). Two consequences, exact:
+#   * K(+1) + K(-1) loses no information (disjoint nonzero rows), and
+#   * A @ (K(+1)+K(-1)) == shift_{+1}(x) @ K(+1) + shift_{-1}(x) @ K(-1)
+#     when A picks the +1-shifted plane on bit-0 lanes and the -1-shifted
+#     plane on bit-1 lanes (a single lane-mask select).
+# Applying this along all three axes merges the 27 tap-GEMMs into 8 group
+# GEMMs (one per sign pattern in {0,+-}^3) — a 3.4x cut of the MXU work
+# that the fold inflation costs, with ~19 extra VPU selects per plane.
+# ---------------------------------------------------------------------------
+
+# group order: (has_d, has_h, has_w) sign-pattern flags
+GROUPS = ((0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+          (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1))
+
+
+def _group_taps(g):
+    """All (td, th, tw) taps belonging to sign-pattern group g."""
+    opts = lambda f: ((-1, 1) if f else (0,))  # noqa: E731
+    return [(td, th, tw) for td in opts(g[0]) for th in opts(g[1])
+            for tw in opts(g[2])]
+
+
+def pack_grouped(k: jax.Array) -> jax.Array:
+    """Fold-structured [3,3,3,Cin,Cout] -> [8, Cin, Cout]: per-group sums
+    (exact for s2d-expanded kernels — disjoint supports)."""
+    return jnp.stack([
+        sum(k[td + 1, th + 1, tw + 1] for td, th, tw in _group_taps(g))
+        for g in GROUPS])
+
+
+def _fold_bits(cin: int, c: int, wpack: bool):
+    """Lane-pattern predicates (ed==0, eh==0, w-bit==0) for a folded tensor
+    with original channels c. Lane layout (ops/s2d.py): wpack
+    [eps_w2][ed][eh][ew][c], else [ed][eh][ew][c]; the paired W axis is
+    eps_w2 under wpack (the conv's W axis is W2) and ew otherwise."""
+    nbc = 8 * c
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cin), 1)
+    pos = (lane % nbc) // c
+    ed0 = (pos // 4) == 0
+    eh0 = ((pos // 2) % 2) == 0
+    w0 = (lane // nbc) == 0 if wpack else (pos % 2) == 0
+    return ed0, eh0, w0
+
+
+def _grouped_conv_body(planes, w: int, cin: int, c: int, wpack: bool,
+                       contract):
+    """Shared fwd/dk loop: for each tap group, build the lane-selected A and
+    apply `contract(group_index, A)`. planes = (xm, x0, xp) [R, Cin],
+    already D-validity-masked."""
+    ed0, eh0, w0 = _fold_bits(cin, c, wpack)
+    xm, x0, xp = planes
+
+    def sel(mask, a, b):
+        return jnp.where(mask, a, b)
+
+    for gi, (gd, gh, gw) in enumerate(GROUPS):
+        def pick_h(src):
+            # the (th, tw) shifted views of one depth plane, h/w paired
+            if gh and gw:
+                return sel(eh0,
+                           sel(w0, _shifted(src, 1, 1, w),
+                               _shifted(src, 1, -1, w)),
+                           sel(w0, _shifted(src, -1, 1, w),
+                               _shifted(src, -1, -1, w)))
+            if gh:
+                return sel(eh0, _shifted(src, 1, 0, w),
+                           _shifted(src, -1, 0, w))
+            if gw:
+                return sel(w0, _shifted(src, 0, 1, w),
+                           _shifted(src, 0, -1, w))
+            return src
+
+        if gd:
+            a = sel(ed0, pick_h(xp), pick_h(xm))
+        else:
+            a = pick_h(x0)
+        contract(gi, a)
+
+
+def _conv_kernel_grouped(xm_ref, x0_ref, xp_ref, kg_ref, b_ref, o_ref, *,
+                         h: int, w: int, cin: int, cout: int, d: int,
+                         c: int, wpack: bool, relu: bool):
+    dloc = pl.program_id(1)
+    acc = jnp.zeros((h * w, cout), jnp.float32) + b_ref[0:1, :]
+
+    def plane(ref, dd):
+        p = ref[0, 0].reshape(h * w, cin)
+        if dd:
+            valid = jnp.logical_and(dloc + dd >= 0, dloc + dd <= d - 1)
+            p = p * jnp.where(valid, 1.0, 0.0).astype(p.dtype)
+        return p
+
+    planes = (plane(xm_ref, -1), plane(x0_ref, 0), plane(xp_ref, 1))
+    accs = [acc]
+
+    def contract(gi, a):
+        accs[0] = accs[0] + jax.lax.dot_general(
+            a, kg_ref[gi], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _grouped_conv_body(planes, w, cin, c, wpack, contract)
+    out = accs[0]
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    o_ref[0, 0] = out.reshape(h, w, cout).astype(o_ref.dtype)
+
+
+def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool):
+    """x [B, D, H, W, Cin]; kg [8, Cin, Cout] grouped; b [Cout] f32."""
+    bsz, d, h, w, cin = x.shape
+    cout = kg.shape[-1]
+    assert w % 8 == 0, w
+    return pl.pallas_call(
+        functools.partial(_conv_kernel_grouped, h=h, w=w, cin=cin,
+                          cout=cout, d=d, c=c, wpack=wpack, relu=relu),
+        grid=(bsz, d),
+        in_specs=[
+            _plane_spec(-1, d, h, w, cin),
+            _plane_spec(0, d, h, w, cin),
+            _plane_spec(1, d, h, w, cin),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h, w, cout),
+                               lambda bi, i: (bi, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, d, h, w, cout), x.dtype),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, x, x, kg.astype(x.dtype), b.reshape(1, -1).astype(jnp.float32))
+
+
+def _dk_kernel_grouped(xm_ref, x0_ref, xp_ref, g_ref, dk_ref, acc_ref, *,
+                       h: int, w: int, cin: int, cout: int, d: int,
+                       c: int, wpack: bool, n: int):
+    step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    dloc = pl.program_id(1)
+    g = g_ref[0, 0].reshape(h * w, cout)
+
+    def plane(ref, dd):
+        p = ref[0, 0].reshape(h * w, cin)
+        if dd:
+            valid = jnp.logical_and(dloc + dd >= 0, dloc + dd <= d - 1)
+            p = p * jnp.where(valid, 1.0, 0.0).astype(p.dtype)
+        return p
+
+    planes = (plane(xm_ref, -1), plane(x0_ref, 0), plane(xp_ref, 1))
+
+    def contract(gi, a):
+        acc_ref[gi] += jax.lax.dot_general(
+            a, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _grouped_conv_body(planes, w, cin, c, wpack, contract)
+
+    @pl.when(step == n - 1)
+    def _():
+        dk_ref[...] = acc_ref[...]
+
+
+def _run_dk_grouped(x, g, c: int, wpack: bool):
+    bsz, d, h, w, cin = x.shape
+    cout = g.shape[-1]
+    return pl.pallas_call(
+        functools.partial(_dk_kernel_grouped, h=h, w=w, cin=cin, cout=cout,
+                          d=d, c=c, wpack=wpack, n=bsz * d),
+        grid=(bsz, d),
+        in_specs=[
+            _plane_spec(-1, d, h, w, cin),
+            _plane_spec(0, d, h, w, cin),
+            _plane_spec(1, d, h, w, cin),
+            pl.BlockSpec((1, 1, h, w, cout),
+                         lambda bi, i: (bi, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, cin, cout), lambda bi, i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, cin, cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, cin, cout), jnp.float32)],
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, x, x, g)
+
+
 def _plane_spec(off: int, d: int, h: int, w: int, c: int):
     def idx(b, i):
         return (b, jnp.clip(i + off, 0, d - 1), 0, 0, 0)
@@ -243,3 +439,57 @@ def _bwd(relu, res, gy):
 
 
 conv3_stencil.defvjp(_fwd, _bwd)
+
+
+def _unpack_grouped_grad(dkg: jax.Array) -> jax.Array:
+    """Adjoint of pack_grouped: each tap receives its group's gradient
+    (the projection onto the tap's support happens downstream through the
+    s2d kernel-expansion VJP)."""
+    gidx = {}
+    for i, g in enumerate(GROUPS):
+        for t in _group_taps(g):
+            gidx[t] = i
+    rows = [[jnp.stack([dkg[gidx[(td, th, tw)]] for tw in (-1, 0, 1)])
+             for th in (-1, 0, 1)] for td in (-1, 0, 1)]
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3_stencil_folded(x: jax.Array, k: jax.Array, b: jax.Array,
+                         wpack: bool = False, relu: bool = False
+                         ) -> jax.Array:
+    """Grouped-tap stencil conv for FOLD-STRUCTURED kernels only: k must be
+    an s2d-expanded kernel ([3,3,3,Cin,Cout] with the per-axis disjoint tap
+    supports of ops/s2d.py), x the matching folded tensor. Exactly equal to
+    conv3_stencil on such kernels, at ~1/3 of the MXU passes. NOT correct
+    for dense kernels (the group sums would alias taps)."""
+    y, _ = _fwd_folded(x, k, b, wpack, relu)
+    return y
+
+
+def _fwd_folded(x, k, b, wpack, relu):
+    kg = pack_grouped(k)
+    y = _run_conv_grouped(x, kg, b, relu, x.shape[-1] // (16 if wpack
+                                                          else 8), wpack)
+    return y, (x, k, b, y if relu else None)
+
+
+def _bwd_folded(wpack, relu, res, gy):
+    x, k, b, y = res
+    if relu:
+        gy = jnp.where(y > 0, gy, jnp.zeros((), gy.dtype))
+    # dx: flipped kernel, I/O channels swapped — flip+transpose PRESERVES
+    # the fold structure (tap t's (eps, dlt) support maps to -t's), so the
+    # grouped path applies to the backward conv too
+    k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    cout_orig = gy.shape[-1] // (16 if wpack else 8)
+    dx = _run_conv_grouped(gy, pack_grouped(k_t),
+                           jnp.zeros((k.shape[3],), jnp.float32), False,
+                           cout_orig, wpack)
+    dkg = _run_dk_grouped(x, gy, x.shape[-1] // (16 if wpack else 8), wpack)
+    dk = _unpack_grouped_grad(dkg)
+    db = jnp.sum(gy, axis=(0, 1, 2, 3), dtype=jnp.float32)
+    return (dx.astype(x.dtype), dk.astype(k.dtype), db.astype(b.dtype))
+
+
+conv3_stencil_folded.defvjp(_fwd_folded, _bwd_folded)

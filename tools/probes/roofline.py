@@ -83,20 +83,37 @@ print(f"Seg total: logical {sum_l(seg)/1e9:.0f} GFLOP, executed "
 print(f"VAE total: logical {sum_l(vae)/1e9:.0f} GFLOP, executed "
       f"{sum_x(vae)/1e9:.0f} GFLOP, {sum_b(vae)/1e9:.2f} GB activations")
 
+# the grouped-tap stencil kernels (stencil3.py) cut the folded-stage MXU
+# passes 27 -> 8 wherever the folded lane count reaches 128 (everything
+# except the two narrow entry convs per network)
+def grouped_x(rows):
+    out = 0.0
+    for name, res, cin, cout, fl, fx, byt in rows:
+        eff = fx
+        lanes_in = cin * 8 * (2 if res == S else 1)  # folded (+W-packed)
+        if fx > fl and lanes_in >= 128:
+            eff = fx * 8 / 27
+        out += eff
+    return out
+
+
 # step composition: teacher Seg fwd + student (Seg + VAE) fwd
 # + backward dx+dk (~2x fwd) for the student networks
 fwd_x = sum_x(seg) + sum_x(vae)
 step_x = sum_x(seg) + fwd_x + 2 * fwd_x
+fwd_g = grouped_x(seg) + grouped_x(vae)
+step_g = grouped_x(seg) + 3 * fwd_g
 step_l = sum_l(seg) + 3 * (sum_l(seg) + sum_l(vae))
 step_b = sum_b(seg) + 3 * (sum_b(seg) + sum_b(vae))
 print(f"\nadapt step: logical {step_l/1e12:.2f} TFLOP, executed "
-      f"{step_x/1e12:.2f} TFLOP, ~{step_b/1e9:.1f} GB conv activations")
-print(f"compute floor (executed @ {PEAK_F/1e12:.0f} TFLOP/s): "
-      f"{step_x/PEAK_F*1e3:.1f} ms")
+      f"{step_x/1e12:.2f} TFLOP dense-folded / {step_g/1e12:.2f} TFLOP "
+      f"grouped-tap, ~{step_b/1e9:.1f} GB conv activations")
+print(f"compute floor (grouped @ {PEAK_F/1e12:.0f} TFLOP/s): "
+      f"{step_g/PEAK_F*1e3:.1f} ms")
 print(f"bandwidth floor (conv act @ {PEAK_B/1e9:.0f} GB/s): "
       f"{step_b/PEAK_B*1e3:.1f} ms")
-for sps in (1.38, 2.03, 5.16):
+for sps in (1.38, 2.03, 5.16, 7.38):
     ms = 1e3 / sps
-    print(f"at {sps:5.2f} steps/s ({ms:5.0f} ms): MXU "
-          f"{step_x/ (ms/1e3) / PEAK_F * 100:5.1f}% of bf16 peak "
-          f"(logical: {step_l/(ms/1e3)/PEAK_F*100:4.1f}%)")
+    print(f"at {sps:5.2f} steps/s ({ms:5.0f} ms): MXU-equivalent "
+          f"{step_g/(ms/1e3)/PEAK_F*100:5.1f}% of bf16 peak on grouped "
+          f"FLOPs (logical: {step_l/(ms/1e3)/PEAK_F*100:4.1f}%)")

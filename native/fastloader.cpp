@@ -14,6 +14,7 @@
 //
 // Build: make -C native   (g++ -O3 -shared -fPIC, pthreads)
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -82,19 +83,51 @@ bool parse_npy_header(const unsigned char* buf, size_t len, NpyInfo* out) {
   return true;
 }
 
-template <typename T>
-void split_and_remap(const T* merge, size_t voxels, const int32_t* raw_labels,
-                     const int32_t* class_ids, int n_map, float* img_out,
-                     float* lab_out) {
-  // merge layout: [..., 2] channel-last (data_process.py:75)
-  for (size_t i = 0; i < voxels; ++i) {
-    img_out[i] = static_cast<float>(merge[2 * i]);
-    const int32_t raw = static_cast<int32_t>(merge[2 * i + 1]);
-    float cls = 0.0f;
-    for (int m = 0; m < n_map; ++m) {
-      if (raw_labels[m] == raw) { cls = static_cast<float>(class_ids[m]); break; }
+struct BBox {
+  int64_t lo[3] = {INT64_MAX, INT64_MAX, INT64_MAX};
+  int64_t hi[3] = {-1, -1, -1};
+  void update(int64_t d, int64_t h, int64_t w) {
+    if (d < lo[0]) lo[0] = d;
+    if (h < lo[1]) lo[1] = h;
+    if (w < lo[2]) lo[2] = w;
+    if (d > hi[0]) hi[0] = d;
+    if (h > hi[1]) hi[1] = h;
+    if (w > hi[2]) hi[2] = w;
+  }
+  void merge(const BBox& o) {
+    for (int i = 0; i < 3; ++i) {
+      if (o.lo[i] < lo[i]) lo[i] = o.lo[i];
+      if (o.hi[i] > hi[i]) hi[i] = o.hi[i];
     }
-    lab_out[i] = cls;
+  }
+};
+
+// One D-slab range of the channel split + label remap + class-foreground
+// bbox accumulation. merge layout: [..., 2] channel-last
+// (data_process.py:75). The remap inner search is tiny (pan_index maps have
+// 1-3 entries); the class>0 branch is rare (sparse foreground).
+template <typename T>
+void split_and_remap_range(const T* merge, int64_t d0, int64_t d1, int64_t hw,
+                           int64_t w, const int32_t* raw_labels,
+                           const int32_t* class_ids, int n_map,
+                           float* img_out, float* lab_out, BBox* box) {
+  for (int64_t d = d0; d < d1; ++d) {
+    const T* src = merge + 2 * d * hw;
+    float* img = img_out + d * hw;
+    float* lab = lab_out + d * hw;
+    for (int64_t i = 0; i < hw; ++i) {
+      img[i] = static_cast<float>(src[2 * i]);
+      const int32_t raw = static_cast<int32_t>(src[2 * i + 1]);
+      float cls = 0.0f;
+      for (int m = 0; m < n_map; ++m) {
+        if (raw_labels[m] == raw) {
+          cls = static_cast<float>(class_ids[m]);
+          break;
+        }
+      }
+      lab[i] = cls;
+      if (cls > 0.0f) box->update(d, i / w, i % w);
+    }
   }
 }
 
@@ -137,9 +170,80 @@ struct Pool {
 
 Pool* g_pool = nullptr;
 
+void pool_submit(std::function<void()> f) {
+  if (!g_pool) g_pool = new Pool(4);
+  g_pool->submit(std::move(f));
+}
+
+int pool_size() {
+  return g_pool ? static_cast<int>(g_pool->workers.size()) : 1;
+}
+
+struct Latch {
+  std::mutex mu;
+  std::condition_variable cv;
+  int remaining;
+  explicit Latch(int n) : remaining(n) {}
+  void count_down() {
+    std::lock_guard<std::mutex> lk(mu);
+    if (--remaining == 0) cv.notify_all();
+  }
+  void wait() {
+    std::unique_lock<std::mutex> lk(mu);
+    cv.wait(lk, [this] { return remaining == 0; });
+  }
+};
+
+void pool_submit(std::function<void()> f);
+int pool_size();
+
+// parallel=false runs the remap inline (used from pool-resident batch jobs,
+// which must not wait on sub-jobs of the same pool — deadlock otherwise).
+template <typename T>
+void remap_parallel(const T* data, const NpyInfo& info,
+                    const int32_t* raw_labels, const int32_t* class_ids,
+                    int n_map, float* img_out, float* lab_out,
+                    int64_t* bbox_out, bool parallel) {
+  const int64_t d_total = static_cast<int64_t>(info.shape[0]);
+  const int64_t hw = static_cast<int64_t>(info.shape[1] * info.shape[2]);
+  const int64_t w = static_cast<int64_t>(info.shape[2]);
+  int chunks = parallel ? pool_size() : 1;
+  if (chunks > d_total) chunks = static_cast<int>(d_total);
+  if (chunks < 1) chunks = 1;
+  std::vector<BBox> boxes(chunks);
+  Latch latch(chunks);
+  const int64_t per = (d_total + chunks - 1) / chunks;
+  for (int c = 0; c < chunks; ++c) {
+    const int64_t d0 = c * per;
+    const int64_t d1 = std::min(d_total, d0 + per);
+    BBox* box = &boxes[c];
+    auto job = [=, &latch] {
+      if (d0 < d1)
+        split_and_remap_range(data, d0, d1, hw, w, raw_labels, class_ids,
+                              n_map, img_out, lab_out, box);
+      latch.count_down();
+    };
+    if (chunks == 1)
+      job();
+    else
+      pool_submit(std::move(job));
+  }
+  latch.wait();
+  BBox total;
+  for (const auto& b : boxes) total.merge(b);
+  if (bbox_out) {
+    const bool empty = total.hi[0] < 0;
+    for (int i = 0; i < 3; ++i) {
+      bbox_out[i] = empty ? -1 : total.lo[i];
+      bbox_out[3 + i] = empty ? -1 : total.hi[i];
+    }
+  }
+}
+
 int load_one(const char* path, const int32_t* raw_labels,
              const int32_t* class_ids, int n_map, float* img_out,
-             float* lab_out, int64_t* shape_out) {
+             float* lab_out, int64_t* shape_out, int64_t* bbox_out,
+             bool parallel) {
   int fd = open(path, O_RDONLY);
   if (fd < 0) return -1;
   struct stat st;
@@ -154,15 +258,14 @@ int load_one(const char* path, const int32_t* raw_labels,
       info.shape.size() != 4 || info.shape[3] != 2) {
     rc = -4;
   } else {
-    const size_t voxels = info.shape[0] * info.shape[1] * info.shape[2];
     const void* data = static_cast<const char*>(mem) + info.data_offset;
     for (int i = 0; i < 3; ++i) shape_out[i] = info.shape[i];
     if (info.dtype == 'h')
-      split_and_remap(static_cast<const int16_t*>(data), voxels, raw_labels,
-                      class_ids, n_map, img_out, lab_out);
+      remap_parallel(static_cast<const int16_t*>(data), info, raw_labels,
+                     class_ids, n_map, img_out, lab_out, bbox_out, parallel);
     else if (info.dtype == 'f')
-      split_and_remap(static_cast<const float*>(data), voxels, raw_labels,
-                      class_ids, n_map, img_out, lab_out);
+      remap_parallel(static_cast<const float*>(data), info, raw_labels,
+                     class_ids, n_map, img_out, lab_out, bbox_out, parallel);
     else
       rc = -5;
   }
@@ -193,12 +296,24 @@ int vaeseg_case_shape(const char* path, int64_t* shape_out) {
   return 0;
 }
 
-// Synchronous single-case load (image/label split + label remap).
+// Synchronous single-case load (image/label split + label remap),
+// chunk-parallel over the pool.
 int vaeseg_load_case(const char* path, const int32_t* raw_labels,
                      const int32_t* class_ids, int n_map, float* img_out,
                      float* lab_out, int64_t* shape_out) {
   return load_one(path, raw_labels, class_ids, n_map, img_out, lab_out,
-                  shape_out);
+                  shape_out, nullptr, true);
+}
+
+// As above, also writing the class-foreground bounding box
+// [dmin,hmin,wmin,dmax,hmax,wmax] (-1s when empty) — computed in the same
+// pass, so CropResize needs no separate argwhere sweep.
+int vaeseg_load_case_bbox(const char* path, const int32_t* raw_labels,
+                          const int32_t* class_ids, int n_map,
+                          float* img_out, float* lab_out, int64_t* shape_out,
+                          int64_t* bbox_out) {
+  return load_one(path, raw_labels, class_ids, n_map, img_out, lab_out,
+                  shape_out, bbox_out, true);
 }
 
 // Async batch: fire one pool job per case; poll *done_counter (int32,
@@ -218,7 +333,7 @@ void vaeseg_load_batch_async(const char** paths, int n_cases,
     g_pool->submit([path, raw_labels, class_ids, n_map, img, lab, shp,
                     done_counter, status] {
       int rc = load_one(path.c_str(), raw_labels, class_ids, n_map, img, lab,
-                        shp);
+                        shp, nullptr, false);
       if (rc != 0)
         __atomic_fetch_or(status, 1, __ATOMIC_SEQ_CST);
       __atomic_fetch_add(done_counter, 1, __ATOMIC_SEQ_CST);

@@ -60,3 +60,34 @@ def test_load_merge_case_roundtrip_uses_native(built, tmp_path, rng):
 def test_native_missing_file_falls_back(built, tmp_path):
     assert native_loader.load_case(str(tmp_path / "nope.npy"),
                                    [[0, 0], [1, 1]]) is None
+
+
+def test_native_bbox_matches_numpy(built, tmp_path, rng):
+    """The fused class-foreground bbox equals the numpy projection sweep
+    (and the argwhere semantics of utils/utils.py:259-263)."""
+    from vae_segmentation_tpu.data.transforms import label_bbox, remap_labels
+
+    _write_case(tmp_path, rng)
+    mask_index = [[[1], 1]]
+    got = native_loader.load_case(
+        str(tmp_path / "case0042" / "merge.npy"), mask_index)
+    assert got is not None and "bbox" in got
+    ref = label_bbox(remap_labels(
+        np.load(tmp_path / "case0042" / "merge.npy")[..., 1], mask_index))
+    if ref is None:
+        assert int(got["bbox"][3]) < 0
+    else:
+        np.testing.assert_array_equal(got["bbox"][:3], ref[0])
+        np.testing.assert_array_equal(got["bbox"][3:], ref[1])
+
+
+def test_native_bbox_empty_label(built, tmp_path, rng):
+    img = rng.integers(-500, 500, (6, 8, 8), np.int16)
+    lab = np.zeros((6, 8, 8), np.int16)
+    case_dir = tmp_path / "caseempty"
+    case_dir.mkdir()
+    np.save(case_dir / "merge.npy",
+            np.stack([img, lab], axis=-1).astype(np.int16))
+    got = native_loader.load_case(str(case_dir / "merge.npy"), [[[1], 1]])
+    assert got is not None
+    assert all(int(v) < 0 for v in got["bbox"])

@@ -52,6 +52,9 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.vaeseg_load_case.restype = ctypes.c_int
+        lib.vaeseg_load_case_bbox.argtypes = \
+            lib.vaeseg_load_case.argtypes + [ctypes.POINTER(ctypes.c_int64)]
+        lib.vaeseg_load_case_bbox.restype = ctypes.c_int
         lib.vaeseg_init_pool(int(os.environ.get("VAESEG_LOADER_THREADS",
                                                 "8")))
         _lib = lib
@@ -76,8 +79,11 @@ def _mask_arrays(mask_index) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def load_case(path: str, mask_index) -> Optional[Dict[str, np.ndarray]]:
-    """merge.npy -> {'image' f32, 'label' f32} via the native loader, or
-    None when unavailable / unsupported (caller falls back to numpy)."""
+    """merge.npy -> {'image' f32, 'label' f32, 'bbox' int64[6]} via the
+    native loader (chunk-parallel remap + free class-foreground bbox), or
+    None when unavailable / unsupported (caller falls back to numpy).
+    bbox is [dmin,hmin,wmin,dmax,hmax,wmax] inclusive, all -1 when the
+    label is empty."""
     lib = _get_lib()
     if lib is None or mask_index is None:
         return None
@@ -87,15 +93,17 @@ def load_case(path: str, mask_index) -> Optional[Dict[str, np.ndarray]]:
     d, h, w = int(shape[0]), int(shape[1]), int(shape[2])
     img = np.empty((d, h, w), np.float32)
     lab = np.empty((d, h, w), np.float32)
+    bbox = (ctypes.c_int64 * 6)()
     raws, clss = _mask_arrays(mask_index)
-    rc = lib.vaeseg_load_case(
+    rc = lib.vaeseg_load_case_bbox(
         path.encode(),
         raws.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         clss.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(raws),
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         lab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        shape)
+        shape, bbox)
     if rc != 0:
         return None
-    return {"image": img, "label": lab}
+    return {"image": img, "label": lab,
+            "bbox": np.array(bbox[:], np.int64)}

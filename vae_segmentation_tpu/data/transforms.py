@@ -83,24 +83,42 @@ def _crop_bounds(center: np.ndarray, half: int, pad: int, shift: int,
             for d in range(3)]
 
 
+def label_bbox(label: np.ndarray):
+    """(bbox_min, bbox_max) of label > 0 via axis projections (the argwhere
+    sweep the reference does, utils/utils.py:259-263, costs ~0.6 s on a
+    256^3 volume; three any-reductions cost ~30 ms). None when empty."""
+    fg = label > 0
+    proj = [np.any(fg, axis=ax) for ax in ((1, 2), (0, 2), (0, 1))]
+    if not bool(proj[0].any()):
+        return None
+    nz = [np.nonzero(p)[0] for p in proj]
+    return (np.array([n[0] for n in nz]), np.array([n[-1] for n in nz]))
+
+
 def crop_resize(image: np.ndarray, label: np.ndarray,
                 output_size: Sequence[int] = (128, 128, 128), *,
-                shift: int = 0) -> Dict[str, np.ndarray]:
+                shift: int = 0,
+                bbox: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
     """ROI cube crop + resize to output_size (utils/utils.py:232-293).
 
     bbox of label>0; center cube of side L = max bbox extent, padded by
     int(0.1 * L); pad-to-cube with zeros; linear+AA resize for the image,
     nearest for the label. Empty-mask fallback center (64,64,64), L=32
     (utils/utils.py:264-267). `shift` offsets the crop (the --shift flag,
-    main_target.py:81,204).
+    main_target.py:81,204). `bbox` may carry a precomputed
+    [dmin,hmin,wmin,dmax,hmax,wmax] (all -1 == empty) from the native
+    loader; otherwise the projection-based sweep runs here.
 
     Returns {'image', 'label', 'ori_shape'} where ori_shape is the 6-vector
     [orig D,H,W, cropped D,H,W] the reference records (utils/utils.py:270-279).
     """
-    index = np.argwhere(label > 0)
-    if index.shape[0] > 0:
-        bbox_max = index.max(0)
-        bbox_min = index.min(0)
+    if bbox is not None:
+        bb = (None if int(bbox[3]) < 0
+              else (np.asarray(bbox[:3]), np.asarray(bbox[3:])))
+    else:
+        bb = label_bbox(label)
+    if bb is not None:
+        bbox_min, bbox_max = bb
         center = (bbox_max + bbox_min) // 2
         L = int((bbox_max - bbox_min).max())
     else:

@@ -102,3 +102,34 @@ def test_full_workflow(workdir):
                 "-b", "2", "--patch_size", "32", "32", "32",
                 "--num_workers", "2"])
     assert json.load(open("tensorboard/dom_ps/score_1.json"))
+
+
+def test_val_batch_gt1_same_scores(workdir):
+    """--val_batch 2 must produce the SAME per-case score dict as the
+    reference's batch-1 loop (per-sample eval steps, VERDICT round-2 #8)."""
+    import jax
+
+    from vae_segmentation_tpu.cli import common
+    from vae_segmentation_tpu.core.config import parse_source_args
+    from vae_segmentation_tpu.eval.evaluate import (make_seg_eval_step,
+                                                    run_eval)
+    from vae_segmentation_tpu.models import SegUNet
+
+    cfg = parse_source_args(["vb_probe", "--method", "seg_train",
+                             *_common(workdir)])
+    model = SegUNet(n_class=2)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        np.zeros((1, 32, 32, 32, 1), np.float32))["params"]
+    step = make_seg_eval_step(model, 2)
+    results = {}
+    for vb in (1, 2):
+        cfg2 = cfg.__class__(**{**cfg.__dict__, "val_batch": vb})
+        loader = common.with_image_norm(common.build_val_loader(
+            cfg2, data_root=cfg.val_data_root, list_key=cfg.val_list,
+            pan_index=cfg.pan_index))
+        mean, scores = run_eval(loader, step, params)
+        results[vb] = (mean, scores)
+    assert results[1][1].keys() == results[2][1].keys()
+    for k in results[1][1]:
+        assert abs(results[1][1][k] - results[2][1][k]) < 1e-5, k
+    assert abs(results[1][0] - results[2][0]) < 1e-5

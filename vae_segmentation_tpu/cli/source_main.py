@@ -279,7 +279,8 @@ def run(cfg: SourceConfig) -> float:
                 m in ("seg_train", "joint_train", "domain_adaptation",
                       "sep_joint_train")
             for pos, batch in enumerate(common.with_image_norm(val_loader)):
-                vidx = int(batch["index"][0])
+                idxs = np.asarray(batch["index"])
+                vidx = int(idxs[0])
                 label = jnp.asarray(batch["label"])
                 panel_case = cfg.save_more_reference and pos == epoch % n_val
                 if m == "vae_train":
@@ -299,18 +300,24 @@ def run(cfg: SourceConfig) -> float:
                         recon = None
                     if dump:
                         onehot = L.one_hot_label(label, n_class)
-                        common.save_eval_npys(
-                            cfg.result_path, epoch, vidx,
-                            np.asarray(L.binarize(pred), np.float32),
-                            np.asarray(batch["image_norm"], np.float32),
-                            np.asarray(L.binarize(onehot), np.float32))
+                        pred_b = np.asarray(L.binarize(pred), np.float32)
+                        img_b = np.asarray(batch["image_norm"], np.float32)
+                        gt_b = np.asarray(L.binarize(onehot), np.float32)
+                        for j, vi in enumerate(idxs):
+                            common.save_eval_npys(
+                                cfg.result_path, epoch, int(vi),
+                                pred_b[j:j + 1], img_b[j:j + 1],
+                                gt_b[j:j + 1])
                         if m == "seg_train" and ref_vae_params is not None:
-                            gt_recon = ref_vae_fwd(ref_vae_params, onehot)
-                            np.save(os.path.join(
-                                cfg.result_path,
-                                f"{epoch}_{vidx}_gt_recon"),
-                                np.moveaxis(np.asarray(
-                                    L.binarize(gt_recon), np.float32), -1, 1))
+                            gt_recon = np.moveaxis(np.asarray(
+                                L.binarize(ref_vae_fwd(ref_vae_params,
+                                                       onehot)),
+                                np.float32), -1, 1)
+                            for j, vi in enumerate(idxs):
+                                np.save(os.path.join(
+                                    cfg.result_path,
+                                    f"{epoch}_{int(vi)}_gt_recon"),
+                                    gt_recon[j:j + 1])
                     if panel_case:
                         onehot = L.one_hot_label(label, n_class)
                         if recon is not None:  # joint family, :744-753
@@ -325,7 +332,9 @@ def run(cfg: SourceConfig) -> float:
                                     jnp.asarray(batch["image_norm"]),
                                     onehot[..., 1], pred[..., 1],
                                     recon_pred[..., 1])
-                scores[vidx] = float(score)
+                score = np.asarray(score).reshape(-1)
+                for j, vi in enumerate(idxs):
+                    scores[int(vi)] = float(score[j])
             dsc = sum(scores.values()) / max(len(scores), 1)
         # post-eval train-batch panel (main_source.py:776-811)
         if cfg.save_more_reference and not cfg.test_only and \

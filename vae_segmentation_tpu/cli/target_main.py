@@ -379,18 +379,21 @@ def run(cfg: TargetConfig) -> float:
 
         if m == "vae_train":
             for batch in val_batches():
-                vidx = int(batch["index"][0])
                 _, score = eval_step(state.params, jnp.asarray(batch["label"]))
-                scores[vidx] = float(score)
+                score = np.asarray(score).reshape(-1)
+                for j, vi in enumerate(np.asarray(batch["index"])):
+                    scores[int(vi)] = float(score[j])
         elif m == "discriminator_train":
-            mse_eval = jax.jit(lambda p, x, s: jnp.mean(jnp.square(
-                s - model.apply({"params": p}, x[..., None])[:, 0])))
+            # per-sample squared error (the score is a scalar per case)
+            mse_eval = jax.jit(lambda p, x, s: jnp.square(
+                s - model.apply({"params": p}, x[..., None])[:, 0]))
             for batch in val_batches():
-                vidx = int(batch["index"][0])
                 s = jnp.asarray(val_scores[np.asarray(batch["index"])
                                            % len(val_scores)])
-                mse = float(mse_eval(state.params, jnp.asarray(batch["label"]), s))
-                scores[vidx] = 1.0 - mse
+                mse = np.asarray(mse_eval(state.params,
+                                          jnp.asarray(batch["label"]), s))
+                for j, vi in enumerate(np.asarray(batch["index"])):
+                    scores[int(vi)] = 1.0 - float(mse[j])
         elif cfg.eval_mode == "sliding_window":
             if m == "domain_adaptation":
                 seg_apply = lambda p, x: model_eval.apply(  # noqa: E731
@@ -405,7 +408,8 @@ def run(cfg: TargetConfig) -> float:
         else:
             sched = _epoch_sched(cfg, epoch, lambda_vae)
             for pos, batch in enumerate(val_batches()):
-                vidx = int(batch["index"][0])
+                idxs = np.asarray(batch["index"])
+                vidx = int(idxs[0])
                 image_n = batch["image_norm"]
                 label = jnp.asarray(batch["label"])
                 eval_params = state.params
@@ -427,9 +431,13 @@ def run(cfg: TargetConfig) -> float:
                             force_write=True, verbose=False)
                     eval_params = ft_state.params
                     out_noft = eval_step(state.params, image_n, label)
-                    scores_noft[vidx] = float(out_noft["score"])
+                    s_noft = np.asarray(out_noft["score"]).reshape(-1)
+                    for j, vi in enumerate(idxs):
+                        scores_noft[int(vi)] = float(s_noft[j])
                 out = eval_step(eval_params, image_n, label)
-                scores[vidx] = float(out["score"])
+                s_out = np.asarray(out["score"]).reshape(-1)
+                for j, vi in enumerate(idxs):
+                    scores[int(vi)] = float(s_out[j])
                 # --save_more_reference val panel, one case per epoch:
                 # [recon_pred c1, gt c1, pred c1] (main_target.py:916-920)
                 if cfg.save_more_reference and pos == epoch % n_val_cases \
@@ -439,20 +447,25 @@ def run(cfg: TargetConfig) -> float:
                         mid_slice_panel(out["recon"][..., 1], onehot[..., 1],
                                         out["pred"][..., 1])
                 if analysis_step is not None:
-                    am = analysis_step(eval_params, teacher_params, image_n,
-                                       label)
-                    fig[vidx] = [float(am["dsc_loss_fake"]),
-                                 float(am["recon_loss"])]
-                    fig_gt[vidx] = [float(am["gt_dsc_loss_fake"]),
-                                    float(am["gt_recon_loss"])]
-                    fig_pseudo[vidx] = [float(am["pseudo_dsc_loss_fake"]),
-                                        float(am["pseudo_recon_loss"])]
+                    am = {k: np.asarray(v).reshape(-1) for k, v in
+                          analysis_step(eval_params, teacher_params,
+                                        image_n, label).items()}
+                    for j, vi in enumerate(idxs):
+                        fig[int(vi)] = [float(am["dsc_loss_fake"][j]),
+                                        float(am["recon_loss"][j])]
+                        fig_gt[int(vi)] = [float(am["gt_dsc_loss_fake"][j]),
+                                           float(am["gt_recon_loss"][j])]
+                        fig_pseudo[int(vi)] = [
+                            float(am["pseudo_dsc_loss_fake"][j]),
+                            float(am["pseudo_recon_loss"][j])]
                 if cfg.save_eval_result and epoch % 10 == 0:
-                    common.save_eval_npys(
-                        cfg.result_path, epoch, vidx,
-                        np.asarray(L.binarize(out["pred"])),
-                        np.asarray(image_n),
-                        np.asarray(L.one_hot_label(label, n_class)))
+                    pred_b = np.asarray(L.binarize(out["pred"]))
+                    img_b = np.asarray(image_n)
+                    gt_b = np.asarray(L.one_hot_label(label, n_class))
+                    for j, vi in enumerate(idxs):
+                        common.save_eval_npys(
+                            cfg.result_path, epoch, int(vi),
+                            pred_b[j:j + 1], img_b[j:j + 1], gt_b[j:j + 1])
 
         n_val = len(scores)
         dsc = sum(scores.values()) / max(n_val, 1)

@@ -4,10 +4,12 @@ Mirrors the reference eval loops:
   * vae_train eval: recon of the GT one-hot, binary dice over classes [1:n)
     (main_source.py:692-707)
   * seg/joint/domain eval: pred vs GT one-hot, binary dice, one 128^3 ROI
-    crop per case, batch 1 (main_source.py:709-774, main_target.py:796-995)
+    crop per case (main_source.py:709-774, main_target.py:796-995)
 
-Returns per-case scores keyed by loader index — the score_{epoch}.json
-contract (main_source.py:812-814).
+Every eval step returns PER-SAMPLE scores ([B]), so --val_batch > 1
+processes several cases per compiled call while preserving the per-case
+score_{epoch}.json contract exactly (the reference's batch-1 loop is the
+val_batch=1 special case; main_source.py:812-814).
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ def make_vae_eval_step(model, n_class: int):
         onehot = L.one_hot_label(label, n_class)
         recon, _, _ = model.apply({"params": params}, onehot, if_random=False)
         score = L.avg_dsc(recon, onehot, binary=True, botindex=1,
-                          topindex=n_class)
+                          topindex=n_class, return_mean=False)
         return recon, score
 
     return step
@@ -38,7 +40,7 @@ def make_seg_eval_step(model, n_class: int):
         onehot = L.one_hot_label(label, n_class)
         pred = model.apply({"params": params}, image[..., None])
         score = L.avg_dsc(pred, onehot, binary=True, botindex=1,
-                          topindex=n_class)
+                          topindex=n_class, return_mean=False)
         return pred, score
 
     return step
@@ -53,7 +55,7 @@ def make_joint_eval_step(model, n_class: int, *, with_gt_recon: bool = False):
         onehot = L.one_hot_label(label, n_class)
         pred, recon, _, _ = model.apply({"params": params}, image[..., None])
         score = L.avg_dsc(pred, onehot, binary=True, botindex=1,
-                          topindex=n_class)
+                          topindex=n_class, return_mean=False)
         out = {"pred": pred, "recon": recon, "score": score}
         if with_gt_recon:
             gt_recon, _, _ = model.apply(
@@ -77,7 +79,7 @@ def make_embed_eval_step(model, n_class: int):
                           test_mode=True,
                           rngs={"reparam": jax.random.PRNGKey(0)})
         score = L.avg_dsc(out["pred"], onehot, binary=True, botindex=1,
-                          topindex=n_class)
+                          topindex=n_class, return_mean=False)
         return {"pred": out["pred"], "score": score}
 
     return step
@@ -98,7 +100,7 @@ def make_analysis_metrics_step(model, teacher, n_class: int):
             method=lambda m, x: m.vae_forward(x, False, 0.0, False, 0.0))
         fake, fake_recon, _, _ = teacher.apply({"params": teacher_params}, img)
         n = n_class
-        kw = dict(botindex=1, topindex=n)
+        kw = dict(botindex=1, topindex=n, return_mean=False)
         return {
             "score": L.avg_dsc(pred, onehot, binary=True, **kw),
             "gt_recon_loss": 1 - L.avg_dsc(gt_recon, onehot, binary=True, **kw),
@@ -116,14 +118,17 @@ def run_eval(loader, eval_step: Callable, params, *,
              uses_image: bool = True) -> Tuple[float, Dict[int, float]]:
     """Per-case eval loop: mean dice + per-case score dict
     (main_source.py:690-707)."""
+    import numpy as np
+
     scores: Dict[int, float] = {}
     for batch in loader:
-        idx = int(batch["index"][0])
         if uses_image:
             out = eval_step(params, batch["image_norm"], batch["label"])
             score = out["score"] if isinstance(out, dict) else out[1]
         else:
             _, score = eval_step(params, batch["label"])
-        scores[idx] = float(score)
+        score = np.asarray(score).reshape(-1)
+        for j, vi in enumerate(np.asarray(batch["index"])):
+            scores[int(vi)] = float(score[j])
     mean = sum(scores.values()) / max(len(scores), 1)
     return mean, scores

@@ -3,7 +3,6 @@ from vae_segmentation_tpu.parallel.sharding import (  # noqa: F401
     SPATIAL_AXIS,
     batch_sharding,
     make_mesh,
-    pad_batch_to,
     replicate_params,
     replicated,
     shard_batch,

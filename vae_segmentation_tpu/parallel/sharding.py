@@ -65,15 +65,3 @@ def replicate_params(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
 
 
-def pad_batch_to(batch_arrays: Tuple, multiple: int):
-    """Pad leading batch dim to a multiple of the mesh data-axis size (the
-    val loader uses batch 1; on an N-chip mesh we pad + mask)."""
-    out = []
-    for a in batch_arrays:
-        b = a.shape[0]
-        pad = (-b) % multiple
-        if pad:
-            widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
-            a = np.pad(np.asarray(a), widths)
-        out.append(a)
-    return tuple(out)

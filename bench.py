@@ -49,7 +49,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 BASELINE_STEPS_PER_SEC_PER_CHIP = 0.5
 
 SIDE = 128
-BATCH = 4
+# headline stays at the reference's global batch 4; VAESEG_BENCH_BATCH
+# overrides for scaling studies (BENCH.md batch-scaling table)
+BATCH = int(os.environ.get("VAESEG_BENCH_BATCH", "4"))
 WARMUP = 2
 ITERS = 10
 
@@ -113,7 +115,8 @@ def main():
 
     value = ITERS / dt
     print(json.dumps({
-        "metric": "domain_adaptation_train_step_throughput_b4_128cubed",
+        "metric": f"domain_adaptation_train_step_throughput_b{BATCH}"
+                  "_128cubed",
         "value": round(value, 4),
         "unit": "steps/sec/chip",
         "vs_baseline": round(value / BASELINE_STEPS_PER_SEC_PER_CHIP, 2),

@@ -188,3 +188,45 @@ def test_spatial_sharding_conv_forward():
     out = jax.jit(lambda p, x: model.apply({"params": p}, x))(p_rep, img_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_stencil_under_dp_mesh_matches_single_device(rng, monkeypatch):
+    """DP-only meshes keep the Pallas stencil fast path: each conv runs per
+    shard via shard_map over 'data' (blocks.stencil_shard_wrap). The
+    sharded folded seg step must equal the single-device stencil step."""
+    monkeypatch.setenv("VAESEG_S2D", "1")
+    monkeypatch.setenv("VAESEG_STENCIL", "1")  # interpret-mode pallas on CPU
+    from vae_segmentation_tpu.models import blocks
+
+    model = SegUNet(n_class=2, fmaps=FMAPS)
+    img = jnp.asarray(rng.normal(size=(4, 16, 16, 16)), jnp.float32)
+    lab = jnp.asarray(rng.random((4, 16, 16, 16)) > 0.7, jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        img[..., None])["params"]
+    tx = optim.sgd(1e-2)
+
+    def run(mesh):
+        try:
+            if mesh is not None:
+                blocks.set_stencil_mesh(mesh)
+            step = make_seg_train_step(model, tx, 2)
+            # fresh leaves: the step donates its state
+            st = init_state(jax.tree.map(jnp.copy, params), tx)
+            if mesh is not None:
+                sh = parallel.batch_sharding(mesh, shard_spatial=False)
+                st = parallel.replicate_params(mesh, st)
+                b_img = jax.device_put(img, sh)
+                b_lab = jax.device_put(lab, sh)
+            else:
+                b_img, b_lab = img, lab
+            st2, aux = step(st, b_img, b_lab)
+            return float(aux["dice_loss"]), jax.tree.leaves(st2.params)[0]
+        finally:
+            blocks.set_stencil_mesh(None)
+
+    loss_1, w_1 = run(None)
+    mesh = parallel.make_mesh(n_data=4, n_spatial=1)
+    loss_dp, w_dp = run(mesh)
+    assert abs(loss_1 - loss_dp) < 1e-5, (loss_1, loss_dp)
+    np.testing.assert_allclose(np.asarray(w_1), np.asarray(w_dp),
+                               rtol=1e-4, atol=1e-5)

@@ -230,13 +230,20 @@ def make_mesh_if_multichip(cfg: CommonConfig):
               f"--spatial_shards to occupy the slice")
     if n_data == 1 and n_spatial == 1:
         return None
-    # The Pallas stencil conv is not GSPMD-partitionable yet — under a mesh
-    # the folded convs run through XLA (which GSPMD shards, incl. the
-    # spatial halo exchange). Single-chip runs keep the stencil fast path.
-    from vae_segmentation_tpu.models.blocks import set_stencil_enabled
+    from vae_segmentation_tpu.models.blocks import (set_stencil_enabled,
+                                                    set_stencil_mesh)
 
-    set_stencil_enabled(False)
-    return parallel.make_mesh(n_data=n_data, n_spatial=n_spatial)
+    mesh = parallel.make_mesh(n_data=n_data, n_spatial=n_spatial)
+    if n_spatial == 1:
+        # DP-only: the stencil convs run per shard via shard_map over the
+        # 'data' axis (batch is the pallas grid's leading dim — exact).
+        set_stencil_mesh(mesh)
+    else:
+        # SPATIAL sharding splits the D axis, which the stencil's depth
+        # taps cannot cross without a halo exchange — XLA+GSPMD handles
+        # those convs (sharded halo exchange comes built in).
+        set_stencil_enabled(False)
+    return mesh
 
 
 def shard_train_batch(mesh, batch):

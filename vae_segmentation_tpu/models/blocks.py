@@ -43,14 +43,37 @@ def use_s2d() -> bool:
 
 
 _STENCIL_FORCE_OFF = False
+_STENCIL_MESH = None
 
 
 def set_stencil_enabled(on: bool) -> None:
-    """Trainer-level gate: the Pallas stencil conv is not yet
-    GSPMD-partitionable, so the CLIs disable it when running under a
-    multi-device mesh (parallel/sharding.py handles those convs via XLA)."""
+    """Trainer-level gate: under a SPATIAL (D-sharded) mesh the stencil
+    conv cannot run (its depth taps would need a halo exchange), so the
+    CLIs disable it and XLA+GSPMD handles those convs."""
     global _STENCIL_FORCE_OFF
     _STENCIL_FORCE_OFF = not on
+
+
+def set_stencil_mesh(mesh) -> None:
+    """Data-parallel-only meshes: run each pallas stencil conv per shard by
+    wrapping it in shard_map over the 'data' axis (batch is the pallas
+    grid's leading dim, so per-shard execution is exact). Called by
+    cli/common.make_mesh_if_multichip; None clears."""
+    global _STENCIL_MESH
+    _STENCIL_MESH = mesh
+
+
+def stencil_shard_wrap(fn):
+    """Wrap a stencil conv op (x, k, b) -> y for the active DP mesh, if
+    any: x/y batch-sharded over 'data', weights/bias replicated."""
+    if _STENCIL_MESH is None:
+        return fn
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return shard_map(fn, mesh=_STENCIL_MESH,
+                     in_specs=(P("data"), P(), P()), out_specs=P("data"),
+                     check_rep=False)
 
 
 def use_stencil() -> bool:
@@ -262,7 +285,8 @@ class Conv3(nn.Module):
                 from vae_segmentation_tpu.ops.pallas.stencil3 import \
                     conv3_stencil
 
-                return conv3_stencil(xd, k.astype(self.dtype), b)
+                return stencil_shard_wrap(conv3_stencil)(
+                    xd, k.astype(self.dtype), b)
             y = jax.lax.conv_general_dilated(
                 xd, k.astype(self.dtype), tuple(self.strides), self.padding,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
@@ -278,9 +302,13 @@ class Conv3(nn.Module):
                 if xd.shape[-1] >= 128:
                     # grouped-tap path: exploits the fold structure to merge
                     # the 27 tap-GEMMs into 8 (exact; stencil3.py)
-                    return conv3_stencil_folded(xd, ke.astype(self.dtype),
-                                                bias_f, self.wpack)
-                return conv3_stencil(xd, ke.astype(self.dtype), bias_f)
+                    wp = self.wpack
+                    return stencil_shard_wrap(
+                        lambda x, k_, b_: conv3_stencil_folded(x, k_, b_,
+                                                               wp))(
+                        xd, ke.astype(self.dtype), bias_f)
+                return stencil_shard_wrap(conv3_stencil)(
+                    xd, ke.astype(self.dtype), bias_f)
             y = jax.lax.conv_general_dilated(
                 xd, ke.astype(self.dtype), (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
@@ -307,8 +335,8 @@ class Conv3(nn.Module):
                 ke = s2d.expand_kernel3_fast(k)
                 if self.wpack:
                     ke = s2d.expand_kernel_w(ke)
-                return conv3_stencil(xf, ke.astype(self.dtype),
-                                     jnp.tile(b, s2d.NB * pack))
+                return stencil_shard_wrap(conv3_stencil)(
+                    xf, ke.astype(self.dtype), jnp.tile(b, s2d.NB * pack))
             y = s2d.fold_conv(xd, k, dtype=self.dtype)
             if self.wpack:
                 y = s2d.fold_w(y)

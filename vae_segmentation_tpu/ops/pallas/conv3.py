@@ -1,6 +1,14 @@
 """Pallas 3x3x3 SAME conv for small-channel stages — the lane-packed
 stencil kernel that sidesteps XLA's feature-in-lanes conv layout.
 
+SUPERSEDED by ops/pallas/stencil3.py (the production kernel): this
+design's [H, W*C] -> [H*W, C] in-kernel view is a lane-dimension reshape
+that Mosaic rejects on current toolchains ("infer-vector-layout:
+unsupported shape cast"), so it only runs in interpret mode. stencil3
+keeps channels in lanes end to end ([1,1,H,W,C] blocks whose [H*W, C]
+collapse is layout-free) and adds the grouped-tap fold-structure path.
+Kept for the interpret-mode parity tests and as design documentation.
+
 Why: XLA's TPU conv emitter stores activations with channels in the 128-wide
 lane dimension; at the U-Net's full-resolution stages (C = 1..16) that pads
 every tensor 8-128x, and the whole stage runs at padded-HBM bandwidth

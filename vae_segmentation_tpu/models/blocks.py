@@ -65,15 +65,28 @@ def set_stencil_mesh(mesh) -> None:
 
 def stencil_shard_wrap(fn):
     """Wrap a stencil conv op (x, k, b) -> y for the active DP mesh, if
-    any: x/y batch-sharded over 'data', weights/bias replicated."""
+    any: x/y batch-sharded over 'data', weights/bias replicated.
+
+    Shape-aware: batches that don't split evenly over the 'data' axis
+    (val_batch=1 eval, ragged last val batches, per-case ft1 finetune —
+    every DP-mesh run hits at least one of these at its first validation
+    pass) fall back to the unwrapped op and let XLA place it."""
     if _STENCIL_MESH is None:
         return fn
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    return shard_map(fn, mesh=_STENCIL_MESH,
-                     in_specs=(P("data"), P(), P()), out_specs=P("data"),
-                     check_rep=False)
+    mesh = _STENCIL_MESH
+    n_data = mesh.shape["data"]
+    sharded = shard_map(fn, mesh=mesh, in_specs=(P("data"), P(), P()),
+                        out_specs=P("data"), check_rep=False)
+
+    def dispatch(x, k, b):
+        if x.shape[0] % n_data != 0:
+            return fn(x, k, b)
+        return sharded(x, k, b)
+
+    return dispatch
 
 
 def use_stencil() -> bool:

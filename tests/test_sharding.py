@@ -254,3 +254,81 @@ def test_stencil_dp_mesh_ragged_batch_falls_back(rng, monkeypatch):
         blocks.set_stencil_mesh(None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_stencil_halo_wrap_matches_xla_conv(rng, monkeypatch):
+    """Spatial meshes: stencil_shard_wrap splits the D axis and exchanges
+    the +-1 depth halo planes over 'spatial' with lax.ppermute (SURVEY
+    section 2.2's named mechanism). Forward AND gradient of the wrapped
+    conv must equal the global XLA conv."""
+    monkeypatch.setenv("VAESEG_STENCIL", "1")  # interpret-mode pallas on CPU
+    from vae_segmentation_tpu.models import blocks
+    from vae_segmentation_tpu.ops.pallas.stencil3 import conv3_stencil
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 8)), jnp.float32)
+    k = jnp.asarray(0.1 * rng.normal(size=(3, 3, 3, 8, 8)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+
+    def xla(x_):
+        return jax.lax.conv_general_dilated(
+            x_, k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+
+    mesh = parallel.make_mesh(n_data=2, n_spatial=4)  # 2 D-planes per shard
+    try:
+        blocks.set_stencil_mesh(mesh)
+        wrapped = blocks.stencil_shard_wrap(conv3_stencil)
+        out = wrapped(x, k, b)
+        g = jax.grad(lambda x_: jnp.sum(wrapped(x_, k, b) ** 2))(x)
+    finally:
+        blocks.set_stencil_mesh(None)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla(x)),
+                               rtol=1e-4, atol=1e-4)
+    g_ref = jax.grad(lambda x_: jnp.sum(xla(x_) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_stencil_under_spatial_mesh_matches_single_device(rng, monkeypatch):
+    """The flagship v5e-8 mesh shape (DP x SP) now keeps the stencil fast
+    path: the full folded seg train step on a DP2xSP2 mesh must equal the
+    single-device stencil step — weights and loss. f32 compute so the
+    equality is exact (bitwise here); in bf16 the D-split only changes
+    instance-norm partial-sum order (~1e-4 rounding)."""
+    monkeypatch.setenv("VAESEG_S2D", "1")
+    monkeypatch.setenv("VAESEG_STENCIL", "1")  # interpret-mode pallas on CPU
+    from vae_segmentation_tpu.models import blocks
+
+    model = SegUNet(n_class=2, fmaps=FMAPS, dtype=jnp.float32)
+    img = jnp.asarray(rng.normal(size=(4, 16, 16, 16)), jnp.float32)
+    lab = jnp.asarray(rng.random((4, 16, 16, 16)) > 0.7, jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        img[..., None])["params"]
+    tx = optim.sgd(1e-2)
+
+    def run(mesh):
+        try:
+            if mesh is not None:
+                blocks.set_stencil_mesh(mesh)
+            step = make_seg_train_step(model, tx, 2)
+            # fresh leaves: the step donates its state
+            st = init_state(jax.tree.map(jnp.copy, params), tx)
+            if mesh is not None:
+                sh = parallel.batch_sharding(mesh, shard_spatial=True)
+                st = parallel.replicate_params(mesh, st)
+                b_img = jax.device_put(img, sh)
+                b_lab = jax.device_put(lab, sh)
+            else:
+                b_img, b_lab = img, lab
+            st2, aux = step(st, b_img, b_lab)
+            return float(aux["dice_loss"]), jax.tree.leaves(st2.params)[0]
+        finally:
+            blocks.set_stencil_mesh(None)
+
+    loss_1, w_1 = run(None)
+    mesh = parallel.make_mesh(n_data=2, n_spatial=2)
+    loss_sp, w_sp = run(mesh)
+    assert abs(loss_1 - loss_sp) < 1e-6, (loss_1, loss_sp)
+    np.testing.assert_allclose(np.asarray(w_1), np.asarray(w_sp),
+                               rtol=1e-6, atol=1e-7)

@@ -230,19 +230,17 @@ def make_mesh_if_multichip(cfg: CommonConfig):
               f"--spatial_shards to occupy the slice")
     if n_data == 1 and n_spatial == 1:
         return None
-    from vae_segmentation_tpu.models.blocks import (set_stencil_enabled,
-                                                    set_stencil_mesh)
+    from vae_segmentation_tpu.models.blocks import set_stencil_mesh
 
     mesh = parallel.make_mesh(n_data=n_data, n_spatial=n_spatial)
-    if n_spatial == 1:
-        # DP-only: the stencil convs run per shard via shard_map over the
-        # 'data' axis (batch is the pallas grid's leading dim — exact).
-        set_stencil_mesh(mesh)
-    else:
-        # SPATIAL sharding splits the D axis, which the stencil's depth
-        # taps cannot cross without a halo exchange — XLA+GSPMD handles
-        # those convs (sharded halo exchange comes built in).
-        set_stencil_enabled(False)
+    # The Pallas stencil convs stay live per shard via shard_map under BOTH
+    # mesh shapes: DP-only splits the batch dim (the pallas grid's leading
+    # dim — exact as-is); spatial meshes also split the D axis and the wrap
+    # exchanges the +-1 depth halo planes with lax.ppermute before each
+    # kernel (blocks.stencil_shard_wrap). Round 2 disabled the stencil
+    # under spatial meshes, which made the flagship DP4xSP2 mesh run the
+    # ~3.6x slower XLA folded path (BENCH.md round-3 policy table).
+    set_stencil_mesh(mesh)
     return mesh
 
 

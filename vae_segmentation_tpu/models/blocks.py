@@ -47,18 +47,23 @@ _STENCIL_MESH = None
 
 
 def set_stencil_enabled(on: bool) -> None:
-    """Trainer-level gate: under a SPATIAL (D-sharded) mesh the stencil
-    conv cannot run (its depth taps would need a halo exchange), so the
-    CLIs disable it and XLA+GSPMD handles those convs."""
+    """Library-level force-off gate for the stencil conv path (used by
+    probes for A/B measurements). The CLIs no longer need it: spatial
+    meshes keep the stencil live via the halo-exchange shard_map
+    (stencil_shard_wrap)."""
     global _STENCIL_FORCE_OFF
     _STENCIL_FORCE_OFF = not on
 
 
 def set_stencil_mesh(mesh) -> None:
-    """Data-parallel-only meshes: run each pallas stencil conv per shard by
-    wrapping it in shard_map over the 'data' axis (batch is the pallas
-    grid's leading dim, so per-shard execution is exact). Called by
-    cli/common.make_mesh_if_multichip; None clears."""
+    """Run each pallas stencil conv per shard by wrapping it in shard_map
+    over the active mesh. DP-only meshes split the batch dim (the pallas
+    grid's leading dim — per-shard execution is exact as-is). Meshes with a
+    'spatial' axis additionally split the D axis; the 3^3 conv's depth taps
+    then need the neighbour shards' boundary planes, which the wrap
+    exchanges with `lax.ppermute` before the kernel runs (SURVEY.md §2.2's
+    halo-exchange mechanism). Called by cli/common.make_mesh_if_multichip;
+    None clears."""
     global _STENCIL_MESH
     _STENCIL_MESH = mesh
 
@@ -73,16 +78,37 @@ def stencil_shard_wrap(fn):
     pass) fall back to the unwrapped op and let XLA place it."""
     if _STENCIL_MESH is None:
         return fn
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     mesh = _STENCIL_MESH
     n_data = mesh.shape["data"]
-    sharded = shard_map(fn, mesh=mesh, in_specs=(P("data"), P(), P()),
-                        out_specs=P("data"), check_rep=False)
+    n_sp = mesh.shape.get("spatial", 1)
+
+    if n_sp == 1:
+        sharded = shard_map(fn, mesh=mesh, in_specs=(P("data"), P(), P()),
+                            out_specs=P("data"), check_vma=False)
+    else:
+        # D-axis halo exchange: each shard computes the conv on its D-slab
+        # padded with the neighbours' boundary planes. ppermute leaves the
+        # edge shards' missing neighbour as zeros — exactly the conv's
+        # SAME zero padding. Slicing [1:-1] of the SAME-conv output of the
+        # padded slab is the exact global conv restricted to the slab.
+        send_down = [(i, i + 1) for i in range(n_sp - 1)]
+        send_up = [(i + 1, i) for i in range(n_sp - 1)]
+
+        def halo_fn(x, k, b):
+            xm = jax.lax.ppermute(x[:, -1:], "spatial", send_down)
+            xp = jax.lax.ppermute(x[:, :1], "spatial", send_up)
+            y = fn(jnp.concatenate([xm, x, xp], axis=1), k, b)
+            return y[:, 1:-1]
+
+        sharded = shard_map(halo_fn, mesh=mesh,
+                            in_specs=(P("data", "spatial"), P(), P()),
+                            out_specs=P("data", "spatial"), check_vma=False)
 
     def dispatch(x, k, b):
-        if x.shape[0] % n_data != 0:
+        if x.shape[0] % n_data != 0 or x.shape[1] % n_sp != 0:
             return fn(x, k, b)
         return sharded(x, k, b)
 

@@ -18,6 +18,7 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdlib>
 #include <cstdio>
 #include <cstring>
 #include <functional>
@@ -170,8 +171,19 @@ struct Pool {
 
 Pool* g_pool = nullptr;
 
+int default_pool_threads() {
+  // same sizing as vaeseg_init_pool's default path: a C-API caller that
+  // submits work before calling vaeseg_init_pool still honors
+  // VAESEG_LOADER_THREADS instead of silently getting a fixed-4 pool
+  if (const char* env = getenv("VAESEG_LOADER_THREADS")) {
+    int n = atoi(env);
+    if (n > 0) return n;
+  }
+  return 4;
+}
+
 void pool_submit(std::function<void()> f) {
-  if (!g_pool) g_pool = new Pool(4);
+  if (!g_pool) g_pool = new Pool(default_pool_threads());
   g_pool->submit(std::move(f));
 }
 

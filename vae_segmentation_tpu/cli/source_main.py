@@ -272,7 +272,7 @@ def run(cfg: SourceConfig) -> float:
             val_loader = common.build_val_loader(
                 cfg, data_root=cfg.val_data_root, list_key=cfg.val_list,
                 pan_index=cfg.pan_index)
-            n_val = max(len(val_loader), 1)
+            n_val_cases = max(len(val_loader.dataset), 1)
             # --save_eval_result npy dumps every 10th epoch
             # (main_source.py:721-728,744-761)
             dump = cfg.save_eval_result and epoch % 10 == 0 and \
@@ -282,14 +282,23 @@ def run(cfg: SourceConfig) -> float:
                 idxs = np.asarray(batch["index"])
                 vidx = int(idxs[0])
                 label = jnp.asarray(batch["label"])
-                panel_case = cfg.save_more_reference and pos == epoch % n_val
+                # one val panel per epoch, cycling over CASES: the
+                # reference's batch-1 loop shows case epoch % n_cases
+                # (main_source.py:700-703); with --val_batch > 1 pick that
+                # case's sample inside whichever batch holds it — cycling
+                # over batch positions would never show some cases
+                pj = np.flatnonzero(idxs == epoch % n_val_cases)
+                panel_case = cfg.save_more_reference and pj.size > 0
+                psel = lambda v: v[int(pj[0]):int(pj[0]) + 1] if pj.size \
+                    else v
                 if m == "vae_train":
                     recon, score = eval_step(state.params, label)
                     if panel_case:  # main_source.py:700-703
                         onehot = L.one_hot_label(label, n_class)
                         display_image[LABEL_KEY + "_display"] = \
-                            mid_slice_panel(onehot[..., 0], onehot[..., 1],
-                                            recon[..., 1])
+                            mid_slice_panel(psel(onehot)[..., 0],
+                                            psel(onehot)[..., 1],
+                                            psel(recon)[..., 1])
                 else:
                     out = eval_step(state.params, batch["image_norm"], label)
                     if isinstance(out, dict):
@@ -322,16 +331,17 @@ def run(cfg: SourceConfig) -> float:
                         onehot = L.one_hot_label(label, n_class)
                         if recon is not None:  # joint family, :744-753
                             display_image[LABEL_KEY + "_display_val"] = \
-                                mid_slice_panel(recon[..., 1], onehot[..., 1],
-                                                pred[..., 1])
+                                mid_slice_panel(psel(recon)[..., 1],
+                                                psel(onehot)[..., 1],
+                                                psel(pred)[..., 1])
                         elif m == "seg_train" and ref_vae_params is not None:
                             # :762-769
                             recon_pred = ref_vae_fwd(ref_vae_params, pred)
                             display_image[LABEL_KEY + "_display_val"] = \
                                 mid_slice_panel(
-                                    jnp.asarray(batch["image_norm"]),
-                                    onehot[..., 1], pred[..., 1],
-                                    recon_pred[..., 1])
+                                    psel(jnp.asarray(batch["image_norm"])),
+                                    psel(onehot)[..., 1], psel(pred)[..., 1],
+                                    psel(recon_pred)[..., 1])
                 score = np.asarray(score).reshape(-1)
                 for j, vi in enumerate(idxs):
                     scores[int(vi)] = float(score[j])

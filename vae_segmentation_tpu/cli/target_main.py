@@ -439,13 +439,19 @@ def run(cfg: TargetConfig) -> float:
                 for j, vi in enumerate(idxs):
                     scores[int(vi)] = float(s_out[j])
                 # --save_more_reference val panel, one case per epoch:
-                # [recon_pred c1, gt c1, pred c1] (main_target.py:916-920)
-                if cfg.save_more_reference and pos == epoch % n_val_cases \
+                # [recon_pred c1, gt c1, pred c1] (main_target.py:916-920).
+                # Cycle over CASES and pick the case's sample inside its
+                # batch (advisor round-2: batch-position cycling skipped
+                # cases at --val_batch > 1)
+                pj = np.flatnonzero(idxs == epoch % n_val_cases)
+                if cfg.save_more_reference and pj.size > 0 \
                         and out.get("recon") is not None:
+                    j0 = int(pj[0])
                     onehot = L.one_hot_label(label, n_class)
                     display_image["venous_pancreas_display_val"] = \
-                        mid_slice_panel(out["recon"][..., 1], onehot[..., 1],
-                                        out["pred"][..., 1])
+                        mid_slice_panel(out["recon"][j0:j0 + 1][..., 1],
+                                        onehot[j0:j0 + 1][..., 1],
+                                        out["pred"][j0:j0 + 1][..., 1])
                 if analysis_step is not None:
                     am = {k: np.asarray(v).reshape(-1) for k, v in
                           analysis_step(eval_params, teacher_params,

@@ -201,6 +201,9 @@ def _add_common(p: argparse.ArgumentParser):
                         "sliding_window: full-volume patch inference with "
                         "on-device stitching (framework extension)")
     p.add_argument("--sw_overlap", type=float, default=0.5)
+    p.add_argument("--val_batch", type=int, default=1,
+                   help="validation batch size (framework extension; eval "
+                        "scores are per-sample so any value is exact)")
     p.add_argument("--debug_nans", action="store_true",
                    help="jax.config jax_debug_nans (SURVEY.md section 5.2: "
                         "the TPU-world replacement for runtime sanitizers)")

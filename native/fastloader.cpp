@@ -18,6 +18,7 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
+#include <cmath>
 #include <cstdlib>
 #include <cstdio>
 #include <cstring>
@@ -287,10 +288,186 @@ int load_one(const char* path, const int32_t* raw_labels,
 
 }  // namespace
 
+
+// ---------------------------------------------------------------------------
+// Separable anti-aliased volume resize (skimage.transform.resize semantics,
+// the contract of data/resize.py::resize_volume): per axis, the gaussian
+// prefilter (sigma = max(0, (1/f - 1)/2), truncate 4.0, mirror boundary)
+// composed with the grid_mode zoom's 2-tap linear resample (src =
+// (o + 0.5)/f - 0.5, out-of-grid taps = 0) collapses into ONE combined FIR
+// per output position. Weights/indices are precomputed per axis, then each
+// pass is a dense small dot product per line, pool-parallel over slabs.
+// Gaussian-then-resample along different axes commute (both linear), so
+// interleaving per axis equals scipy's filter-all-then-zoom-all to fp noise.
+// ---------------------------------------------------------------------------
+
+struct AxisPlan {
+  int64_t n_out = 0;
+  int taps = 0;                  // weights per output position
+  std::vector<int32_t> idx;      // [n_out * taps] source indices
+  std::vector<float> wgt;        // [n_out * taps]
+};
+
+int64_t mirror_index(int64_t i, int64_t n) {
+  if (n == 1) return 0;
+  const int64_t period = 2 * (n - 1);
+  i = i % period;
+  if (i < 0) i += period;
+  return i < n ? i : period - i;
+}
+
+void build_axis_plan(int64_t n_in, int64_t n_out, int order, bool anti_alias,
+                     AxisPlan* plan) {
+  const double f = static_cast<double>(n_out) / static_cast<double>(n_in);
+  plan->n_out = n_out;
+  double sigma = 0.0;
+  if (anti_alias && order != 0 && f < 1.0) sigma = (1.0 / f - 1.0) / 2.0;
+  int r = 0;
+  std::vector<double> g(1, 1.0);
+  if (sigma > 0.0) {
+    r = static_cast<int>(4.0 * sigma + 0.5);
+    g.assign(2 * r + 1, 0.0);
+    double norm = 0.0;
+    for (int k = -r; k <= r; ++k) {
+      g[k + r] = std::exp(-0.5 * (k / sigma) * (k / sigma));
+      norm += g[k + r];
+    }
+    for (double& v : g) v /= norm;
+  }
+  const int ltaps = (order == 0) ? 1 : 2;
+  plan->taps = ltaps * (2 * r + 1);
+  plan->idx.assign(static_cast<size_t>(n_out) * plan->taps, 0);
+  plan->wgt.assign(static_cast<size_t>(n_out) * plan->taps, 0.0f);
+  for (int64_t o = 0; o < n_out; ++o) {
+    const double src = (o + 0.5) / f - 0.5;
+    int64_t i0;
+    double lw[2];
+    if (order == 0) {
+      i0 = static_cast<int64_t>(std::floor(src + 0.5));
+      lw[0] = 1.0;
+      lw[1] = 0.0;
+    } else {
+      i0 = static_cast<int64_t>(std::floor(src));
+      const double t = src - i0;
+      lw[0] = 1.0 - t;
+      lw[1] = t;
+    }
+    size_t slot = static_cast<size_t>(o) * plan->taps;
+    for (int lt = 0; lt < ltaps; ++lt) {
+      const int64_t i = i0 + lt;
+      // grid-constant: a linear tap outside the grid contributes zero
+      // (weights stay 0; indices stay at the safe default 0)
+      if (i < 0 || i >= n_in) {
+        slot += 2 * r + 1;
+        continue;
+      }
+      for (int k = -r; k <= r; ++k, ++slot) {
+        plan->idx[slot] = static_cast<int32_t>(mirror_index(i + k, n_in));
+        plan->wgt[slot] = static_cast<float>(lw[lt] * g[k + r]);
+      }
+    }
+  }
+}
+
+// Resample axis `axis` of the C-order volume [n0, n1, n2] (sizes BEFORE the
+// pass) into `out` (same layout, axis size plan->n_out). Parallel over n0
+// slabs (or output rows for axis 0).
+void resample_axis(const float* in, int64_t n0, int64_t n1, int64_t n2,
+                   int axis, const AxisPlan& plan, float* out) {
+  const int taps = plan.taps;
+  const int32_t* idx = plan.idx.data();
+  const float* wgt = plan.wgt.data();
+  const int64_t n_out = plan.n_out;
+  int jobs;
+  if (axis == 0)
+    jobs = static_cast<int>(std::min<int64_t>(n_out, pool_size()));
+  else
+    jobs = static_cast<int>(std::min<int64_t>(n0, pool_size()));
+  if (jobs < 1) jobs = 1;
+  Latch latch(jobs);
+  for (int j = 0; j < jobs; ++j) {
+    const int64_t total = (axis == 0) ? n_out : n0;
+    const int64_t per = (total + jobs - 1) / jobs;
+    const int64_t b0 = j * per;
+    const int64_t b1 = std::min<int64_t>(total, b0 + per);
+    pool_submit([=, &latch] {
+      if (axis == 0) {
+        const int64_t line = n1 * n2;
+        for (int64_t o = b0; o < b1; ++o) {
+          float* dst = out + o * line;
+          std::fill(dst, dst + line, 0.0f);
+          for (int k = 0; k < taps; ++k) {
+            const float wv = wgt[o * taps + k];
+            if (wv == 0.0f) continue;
+            const float* src = in + static_cast<int64_t>(idx[o * taps + k])
+                               * line;
+            for (int64_t i = 0; i < line; ++i) dst[i] += wv * src[i];
+          }
+        }
+      } else if (axis == 1) {
+        for (int64_t s = b0; s < b1; ++s) {
+          const float* slab = in + s * n1 * n2;
+          float* dslab = out + s * n_out * n2;
+          for (int64_t o = 0; o < n_out; ++o) {
+            float* dst = dslab + o * n2;
+            std::fill(dst, dst + n2, 0.0f);
+            for (int k = 0; k < taps; ++k) {
+              const float wv = wgt[o * taps + k];
+              if (wv == 0.0f) continue;
+              const float* src = slab
+                  + static_cast<int64_t>(idx[o * taps + k]) * n2;
+              for (int64_t i = 0; i < n2; ++i) dst[i] += wv * src[i];
+            }
+          }
+        }
+      } else {
+        for (int64_t s = b0; s < b1; ++s) {
+          for (int64_t r0 = 0; r0 < n1; ++r0) {
+            const float* src = in + (s * n1 + r0) * n2;
+            float* dst = out + (s * n1 + r0) * n_out;
+            for (int64_t o = 0; o < n_out; ++o) {
+              float acc = 0.0f;
+              for (int k = 0; k < taps; ++k)
+                acc += wgt[o * taps + k] * src[idx[o * taps + k]];
+              dst[o] = acc;
+            }
+          }
+        }
+      }
+      latch.count_down();
+    });
+  }
+  latch.wait();
+}
+
+
 extern "C" {
 
 void vaeseg_init_pool(int n_threads) {
   if (!g_pool) g_pool = new Pool(n_threads > 0 ? n_threads : 4);
+}
+
+
+// Anti-aliased separable resize: in [d, h, w] f32 C-order -> out
+// [od, oh, ow]. order: 0 nearest (labels) / 1 linear (+ gaussian
+// anti-aliasing on downscaled axes when anti_alias). Pool-parallel.
+int vaeseg_resize_volume(const float* in, const int64_t* in_shape,
+                         float* out, const int64_t* out_shape,
+                         int order, int anti_alias) {
+  if (!g_pool) vaeseg_init_pool(0);
+  const int64_t d = in_shape[0], h = in_shape[1], w = in_shape[2];
+  const int64_t od = out_shape[0], oh = out_shape[1], ow = out_shape[2];
+  if (d <= 0 || h <= 0 || w <= 0 || od <= 0 || oh <= 0 || ow <= 0) return -1;
+  AxisPlan pd, ph, pw;
+  build_axis_plan(d, od, order, anti_alias, &pd);
+  build_axis_plan(h, oh, order, anti_alias, &ph);
+  build_axis_plan(w, ow, order, anti_alias, &pw);
+  std::vector<float> buf1(static_cast<size_t>(od) * h * w);
+  std::vector<float> buf2(static_cast<size_t>(od) * oh * w);
+  resample_axis(in, d, h, w, 0, pd, buf1.data());
+  resample_axis(buf1.data(), od, h, w, 1, ph, buf2.data());
+  resample_axis(buf2.data(), od, oh, w, 2, pw, out);
+  return 0;
 }
 
 // Peek a case's volume shape (so the caller can size buffers).

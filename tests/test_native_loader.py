@@ -91,3 +91,49 @@ def test_native_bbox_empty_label(built, tmp_path, rng):
     got = native_loader.load_case(str(case_dir / "merge.npy"), [[[1], 1]])
     assert got is not None
     assert all(int(v) < 0 for v in got["bbox"])
+
+
+@pytest.mark.parametrize("shape,out", [
+    ((180, 211, 150), (128, 128, 128)),   # typical crop -> patch downscale
+    ((100, 100, 100), (128, 128, 128)),   # upscale
+    ((97, 64, 131), (32, 64, 48)),        # mixed odd ratios
+    ((1, 40, 40), (1, 16, 16)),           # degenerate axis
+])
+@pytest.mark.parametrize("order", [0, 1])
+def test_native_resize_matches_scipy(shape, out, order, monkeypatch):
+    """vaeseg_resize_volume == the scipy reference path of
+    data/resize.py::resize_volume (skimage.resize semantics: AA gaussian
+    sigma max(0,(1/f-1)/2) mirror + grid_mode zoom, grid-constant)."""
+    from vae_segmentation_tpu.data import native_loader, resize
+
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    rng = np.random.default_rng(hash((shape, order)) % 2**31)
+    vol = rng.normal(size=shape).astype(np.float32) * 300.0
+    if order == 0:
+        vol = np.round(vol / 100.0)  # label-ish integer field
+
+    monkeypatch.setenv("VAESEG_NATIVE_RESIZE", "0")
+    want = resize.resize_volume(vol, out, order=order)
+    got = native_loader.resize_volume(vol, out, order=order,
+                                      anti_aliasing=order != 0)
+    assert got is not None and got.shape == want.shape
+    if order == 0:
+        # nearest: identical picks except exact .5 coordinate ties
+        assert np.mean(got != want) < 1e-3
+    else:
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_resize_volume_routes_native(monkeypatch):
+    """The default resize path uses the native kernel when built."""
+    from vae_segmentation_tpu.data import native_loader, resize
+
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    vol = np.random.default_rng(0).normal(size=(50, 60, 70)).astype(np.float32)
+    monkeypatch.setenv("VAESEG_NATIVE_RESIZE", "1")
+    a = resize.resize_volume(vol, (32, 32, 32))
+    monkeypatch.setenv("VAESEG_NATIVE_RESIZE", "0")
+    b = resize.resize_volume(vol, (32, 32, 32))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-3)

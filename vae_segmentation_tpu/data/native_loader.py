@@ -55,6 +55,12 @@ def _get_lib():
         lib.vaeseg_load_case_bbox.argtypes = \
             lib.vaeseg_load_case.argtypes + [ctypes.POINTER(ctypes.c_int64)]
         lib.vaeseg_load_case_bbox.restype = ctypes.c_int
+        lib.vaeseg_resize_volume.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.vaeseg_resize_volume.restype = ctypes.c_int
         lib.vaeseg_init_pool(int(os.environ.get("VAESEG_LOADER_THREADS",
                                                 "8")))
         _lib = lib
@@ -107,3 +113,27 @@ def load_case(path: str, mask_index) -> Optional[Dict[str, np.ndarray]]:
         return None
     return {"image": img, "label": lab,
             "bbox": np.array(bbox[:], np.int64)}
+
+
+def resize_volume(vol: np.ndarray, output_size, *, order: int = 1,
+                  anti_aliasing: bool = True) -> Optional[np.ndarray]:
+    """Native separable anti-aliased resize (skimage.resize semantics,
+    identical contract to data/resize.py::resize_volume) — the last scipy
+    hot spot of the per-item loader path (BENCH.md). Returns None when the
+    shared object is unavailable (caller falls back to scipy)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    vol = np.ascontiguousarray(vol, np.float32)
+    out = np.empty(tuple(int(x) for x in output_size), np.float32)
+    in_shape = np.asarray(vol.shape, np.int64)
+    out_shape = np.asarray(out.shape, np.int64)
+    rc = lib.vaeseg_resize_volume(
+        vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        in_shape.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_shape.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(order), int(bool(anti_aliasing)))
+    if rc != 0:
+        return None
+    return out

@@ -11,6 +11,7 @@ downscaling axes.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import numpy as np
@@ -30,6 +31,16 @@ def resize_volume(vol: np.ndarray, output_size: Sequence[int], *,
     factors = np.array(output_size, dtype=np.float64) / np.array(vol.shape)
     if anti_aliasing is None:
         anti_aliasing = order != 0
+    if os.environ.get("VAESEG_NATIVE_RESIZE", "1") == "1":
+        # pool-parallel C++ separable resize (native/fastloader.cpp) —
+        # same combined gaussian+linear math, parity-tested vs this scipy
+        # path (tests/test_native_loader.py)
+        from vae_segmentation_tpu.data import native_loader
+
+        out = native_loader.resize_volume(vol, output_size, order=order,
+                                          anti_aliasing=anti_aliasing)
+        if out is not None:
+            return out
     work = vol.astype(np.float32, copy=False)
     if anti_aliasing:
         sigmas = np.maximum(0.0, (1.0 / factors - 1.0) / 2.0)

@@ -133,3 +133,29 @@ def test_val_batch_gt1_same_scores(workdir):
     for k in results[1][1]:
         assert abs(results[1][1][k] - results[2][1][k]) < 1e-5, k
     assert abs(results[1][0] - results[2][0]) < 1e-5
+
+
+def test_sliding_window_eval_cli(workdir):
+    """--eval_mode sliding_window end-to-end: the full-volume sweep drives
+    validation for both trainers, scores keyed identically to the crop
+    path, and ft1 composes (per-case crop finetune -> full-volume sweep
+    with the finetuned student, score_noft from the plain student)."""
+    from vae_segmentation_tpu.cli.source_main import main as src_main
+    from vae_segmentation_tpu.cli.target_main import main as tgt_main
+
+    src_main(["vae_sw", "--method", "vae_train"] + _common(workdir))
+    src_main(["seg_sw", "--method", "seg_train", "--eval_mode",
+              "sliding_window", "--sw_overlap", "0.5"] + _common(workdir))
+    sw_scores = json.load(open("tensorboard/seg_sw/score_0.json"))
+    assert sorted(sw_scores) == ["0", "1"]  # crop-path index convention
+    for v in sw_scores.values():
+        assert 0.0 <= v <= 1.0
+
+    tgt_main(["dom_sw", "--method", "domain_adaptation",
+              "--load_prefix", "seg_sw", "--load_prefix_vae", "vae_sw",
+              "--lambda_vae", "1.0", "--domain_loss_type", "8",
+              "--val_finetune", "1", "--eval_mode", "sliding_window",
+              "--test_only"] + _common(workdir))
+    scores = json.load(open("tensorboard/dom_sw/score_0.json"))
+    noft = json.load(open("tensorboard/dom_sw/score_noft_0.json"))
+    assert sorted(scores) == ["0", "1"] and sorted(noft) == ["0", "1"]

@@ -282,13 +282,21 @@ def _round_up(n: int, m: int) -> int:
 
 
 def run_sliding_window_eval(cfg, seg_apply, params, *, n_class: int,
-                            data_root: str, list_key: str, pan_index: str
+                            data_root: str, list_key: str, pan_index: str,
+                            params_for_case: Optional[Callable] = None
                             ) -> Tuple[float, Dict[int, float]]:
     """Full-volume sliding-window eval (framework extension; the on-device
     generalization of the legacy predict_vol, utils/utils.py:742-803).
 
     Volumes are padded up to multiples of 64 per axis so XLA compiles a
     bounded set of stitching programs instead of one per case shape.
+    Scores are keyed by the case's dataset index — the SAME key the crop
+    path uses (batch['index']), so score_{epoch}.json is directly
+    comparable between the two eval modes.
+
+    params_for_case: optional callable(case_dict) -> params giving each
+    case its own parameters — the ft1 test-time-training hook
+    (main_target.py:807-900 composed with the full-volume sweep).
     """
     from vae_segmentation_tpu.data.manifest import filedict_from_json
     from vae_segmentation_tpu.data.transforms import parse_pan_index
@@ -301,15 +309,16 @@ def run_sliding_window_eval(cfg, seg_apply, params, *, n_class: int,
     scores: Dict[int, float] = {}
     for idx in range(len(ds)):
         case = ds[idx]
+        p = params if params_for_case is None else params_for_case(case)
         img = case["image"].astype(np.float32)
         lab = case["label"]
         shape = img.shape
-        padded = [_round_up(max(s, p), 64) for s, p in zip(shape, patch)]
+        padded = [_round_up(max(s, p_), 64) for s, p_ in zip(shape, patch)]
         img = np.pad(img, [(0, t - s) for s, t in zip(shape, padded)],
                      constant_values=-1024.0)
         img_n = _val_ingest(jnp.asarray(img))
         probs = sliding_window_predict(
-            seg_apply, params, img_n, patch=patch, overlap=cfg.sw_overlap,
+            seg_apply, p, img_n, patch=patch, overlap=cfg.sw_overlap,
             batch=min(cfg.batch_size, 4), n_class=n_class)
         probs = probs[: shape[0], : shape[1], : shape[2]]
         pred = jnp.argmax(probs, axis=-1).astype(jnp.float32)
@@ -317,7 +326,7 @@ def run_sliding_window_eval(cfg, seg_apply, params, *, n_class: int,
         onehot_gt = jax.nn.one_hot(jnp.asarray(lab, jnp.int32), n_class)[None]
         score = L.avg_dsc(onehot_pred, onehot_gt, botindex=1,
                           topindex=n_class)
-        scores[idx] = float(score)
+        scores[int(case["index"])] = float(score)
     mean = sum(scores.values()) / max(len(scores), 1)
     return mean, scores
 

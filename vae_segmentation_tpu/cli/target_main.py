@@ -401,10 +401,49 @@ def run(cfg: TargetConfig) -> float:
             else:
                 seg_apply = lambda p, x: model.apply(  # noqa: E731
                     {"params": p}, x)[0]
+            params_for_case = None
+            if finetune_step is not None and (epoch != 0 or cfg.test_only):
+                # ft1 composed with sliding-window eval: per case, finetune
+                # on the case's ROI crop exactly like the crop path
+                # (main_target.py:807-900), then run the full-volume sweep
+                # with the finetuned student. The no-finetune sweep fills
+                # score_noft, mirroring the crop path's score pair.
+                from vae_segmentation_tpu.data.manifest import \
+                    filedict_from_json
+                from vae_segmentation_tpu.data.pipeline import CaseDataset
+                from vae_segmentation_tpu.data.transforms import \
+                    parse_pan_index
+
+                sched = _epoch_sched(cfg, epoch, lambda_vae)
+                crop_ds = CaseDataset(
+                    filedict_from_json(cfg.data_path, cfg.val_list, 1),
+                    cfg.val_data_root,
+                    mask_index=parse_pan_index(cfg.pan_index),
+                    output_size=cfg.patch_size)
+
+                def params_for_case(case):
+                    item = crop_ds[case["index"]]
+                    image_n = common._val_ingest(
+                        jnp.asarray(item["image"])[None])
+                    lab = jnp.asarray(item["label"])[None]
+                    ft_state = init_state(
+                        jax.tree.map(jnp.copy, state.params), tx_ft)
+                    for i in range(cfg.val_finetune):
+                        k_ft = jax.random.fold_in(
+                            key, case["index"] * 1009 + i)
+                        ft_state, _ = finetune_step(
+                            ft_state, teacher_params, image_n, lab, k_ft,
+                            sched)
+                    return ft_state.params
+
+                _, scores_noft = common.run_sliding_window_eval(
+                    cfg, seg_apply, state.params, n_class=n_class,
+                    data_root=cfg.val_data_root, list_key=cfg.val_list,
+                    pan_index=cfg.pan_index)
             dsc_sw, scores = common.run_sliding_window_eval(
                 cfg, seg_apply, state.params, n_class=n_class,
                 data_root=cfg.val_data_root, list_key=cfg.val_list,
-                pan_index=cfg.pan_index)
+                pan_index=cfg.pan_index, params_for_case=params_for_case)
         else:
             sched = _epoch_sched(cfg, epoch, lambda_vae)
             for pos, batch in enumerate(val_batches()):

@@ -81,11 +81,12 @@ def bottleneck_for(patch_size, top_fmaps: int = 256) -> int:
 # device-side ingest
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("patch_size", "no_aug"))
-def _train_ingest(image, label, key, patch_size, no_aug):
+@partial(jax.jit, static_argnames=("patch_size", "no_aug", "aug_order"))
+def _train_ingest(image, label, key, patch_size, no_aug, aug_order=1):
     if not no_aug:
         image, label = augment.spatial_augment(image, label, key,
-                                               patch_size=patch_size)
+                                               patch_size=patch_size,
+                                               order=aug_order)
     return augment.intensity_normalize(image), label
 
 
@@ -100,9 +101,11 @@ def make_train_ingest(cfg: CommonConfig) -> Callable:
     device-side replacement of MySpatialTransform + Clip + CenterIntensities
     (main_source.py:197-212)."""
     patch = tuple(cfg.patch_size)
+    aug_order = getattr(cfg, "aug_order", 1)
 
     def ingest(image, label, key):
-        return _train_ingest(image, label, key, patch, cfg.no_aug)
+        return _train_ingest(image, label, key, patch, cfg.no_aug,
+                             aug_order)
 
     return ingest
 

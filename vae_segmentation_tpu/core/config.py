@@ -70,6 +70,7 @@ class CommonConfig:
     patch_size: tuple = (128, 128, 128)
     weight_decay: float = 0.0
     val_batch: int = 1
+    aug_order: int = 1
 
     def finalize(self) -> "CommonConfig":
         assert self.save_epoch % self.eval_epoch == 0
@@ -201,6 +202,10 @@ def _add_common(p: argparse.ArgumentParser):
                         "sliding_window: full-volume patch inference with "
                         "on-device stitching (framework extension)")
     p.add_argument("--sw_overlap", type=float, default=0.5)
+    p.add_argument("--aug_order", type=int, choices=(1, 3), default=1,
+                   help="augmentation image interpolation order: 1 = fast "
+                        "trilinear (default), 3 = the reference's cubic "
+                        "spline, exact on device (framework extension)")
     p.add_argument("--val_batch", type=int, default=1,
                    help="validation batch size (framework extension; eval "
                         "scores are per-sample so any value is exact)")

@@ -16,13 +16,13 @@ Reference semantics reproduced:
     main_source.py:197);
   * image border constant -1024, label border 0, label nearest-neighbor.
 
-Deliberate TPU-first deviation: image interpolation is trilinear (order 1),
-not the reference's order-3 cubic spline — jax map_coordinates supports
-order <= 1. Everything else (coordinate math, crop-center law, scipy
-'constant' border semantics) is golden-fixture-exact against a scipy oracle
-of batchgenerators augment_spatial, and the order-3-vs-order-1 delta is
-quantified and bounded there (tests/test_augment.py: mean |Δ| < 1.5% of
-dynamic range on CT-like content).
+Image interpolation: trilinear (order 1) by default — measured as the
+faster path with a bounded delta vs cubic (tests/test_augment.py) — or the
+reference's exact order-3 cubic spline with --aug_order 3
+(map_coordinates_cubic below: mirror-boundary IIR spline prefilter via
+lax.scan + 64-tap B-spline gather, golden-fixture-exact vs the scipy
+oracle of batchgenerators). Coordinate math, crop-center law, and scipy
+'constant' border semantics are golden-fixture-exact in both modes.
 
 The whole thing runs inside jit: ~130 MB of coordinate math per batch of 4
 that the reference spent 16 host worker processes on.
@@ -102,22 +102,117 @@ def affine_coords(angles: jax.Array, scale: jax.Array, center: jax.Array,
     return coords + center[:, None, None, None]
 
 
+# ---------------------------------------------------------------------------
+# On-device cubic (order-3) spline interpolation — scipy map_coordinates
+# (order=3, mode='constant') semantics, verified: mirror-boundary spline
+# prefilter + mirror tap indexing + hard cval outside [0, n-1] reproduces
+# scipy to 1e-13 (see tests/test_augment.py::test_cubic_matches_scipy).
+# jax's map_coordinates caps at order 1; this closes the one documented
+# data-pipeline deviation from batchgenerators (order_data=3).
+# ---------------------------------------------------------------------------
+
+_SPLINE_POLE = -0.26794919243112270647  # sqrt(3) - 2
+_SPLINE_GAIN = 6.0  # (1 - z) * (1 - 1/z) for the cubic pole
+
+
+def _spline_filter1d_mirror(x: jax.Array, axis: int) -> jax.Array:
+    """Cubic B-spline prefilter along `axis`, mirror boundary (the exact
+    Unser IIR init — valid for any length, no truncation branch)."""
+    z = _SPLINE_POLE
+    n = x.shape[axis]
+    if n == 1:
+        return x
+    xf = jnp.moveaxis(x, axis, 0)
+    lead = xf.shape
+    xf = xf.reshape(n, -1) * _SPLINE_GAIN
+    # exact mirror init of the causal pass:
+    # c+[0] = (x[0] + z^{n-1} x[n-1] + sum_{k=1}^{n-2} (z^k + z^{2n-2-k}) x[k])
+    #         / (1 - z^{2n-2})
+    k = jnp.arange(n, dtype=x.dtype)
+    w0 = z ** k + jnp.where((k > 0) & (k < n - 1), z ** (2.0 * (n - 1) - k),
+                            0.0)
+    w0 = w0.at[n - 1].set(z ** (n - 1.0))
+    c0 = (w0 @ xf) / (1.0 - z ** (2.0 * (n - 1)))
+
+    def fwd(c, xk):
+        c = xk + z * c
+        return c, c
+
+    _, cp = jax.lax.scan(fwd, c0, xf[1:])
+    cp = jnp.concatenate([c0[None], cp], axis=0)
+    # anticausal init (mirror): c-[n-1] = z/(z^2-1) * (z c+[n-2] + c+[n-1])
+    cl = z / (z * z - 1.0) * (z * cp[n - 2] + cp[n - 1])
+
+    def bwd(c, cpk):
+        c = z * (c - cpk)
+        return c, c
+
+    _, cm = jax.lax.scan(bwd, cl, cp[:-1][::-1])
+    out = jnp.concatenate([cm[::-1], cl[None]], axis=0)
+    return jnp.moveaxis(out.reshape(lead), 0, axis)
+
+
+def _bspline_weights(t: jax.Array):
+    """Cubic B-spline basis at fractional offset t for taps (-1, 0, 1, 2)."""
+    t2, t3 = t * t, t * t * t
+    return ((1.0 - t) ** 3 / 6.0,
+            (3.0 * t3 - 6.0 * t2 + 4.0) / 6.0,
+            (-3.0 * t3 + 3.0 * t2 + 3.0 * t + 1.0) / 6.0,
+            t3 / 6.0)
+
+
+def _mirror_idx(i: jax.Array, n: int) -> jax.Array:
+    if n == 1:
+        return jnp.zeros_like(i)
+    p = 2 * (n - 1)
+    j = jnp.abs(i) % p
+    return jnp.where(j < n, j, p - j)
+
+
+def map_coordinates_cubic(vol: jax.Array, coords: jax.Array) -> jax.Array:
+    """Order-3 interpolation of a 3D volume at coords [3, *out_shape].
+    Out-of-domain handling is the CALLER's (warp_with_params applies the
+    scipy 'constant' hard mask); taps use mirror extension like scipy."""
+    coef = vol
+    for ax in range(3):
+        coef = _spline_filter1d_mirror(coef, ax)
+    i0 = [jnp.floor(coords[a]).astype(jnp.int32) for a in range(3)]
+    wts = [_bspline_weights(coords[a] - i0[a]) for a in range(3)]
+    out = jnp.zeros(coords.shape[1:], vol.dtype)
+    for ka in range(4):
+        ia = _mirror_idx(i0[0] + (ka - 1), vol.shape[0])
+        for kb in range(4):
+            ib = _mirror_idx(i0[1] + (kb - 1), vol.shape[1])
+            for kc in range(4):
+                ic = _mirror_idx(i0[2] + (kc - 1), vol.shape[2])
+                w = wts[0][ka] * wts[1][kb] * wts[2][kc]
+                out = out + w * coef[ia, ib, ic]
+    return out
+
+
 def warp_with_params(image: jax.Array, label: jax.Array, angles, scale,
-                     center, patch_size) -> Tuple[jax.Array, jax.Array]:
+                     center, patch_size, order: int = 1
+                     ) -> Tuple[jax.Array, jax.Array]:
     """Warp one (image, label) volume with explicit affine params.
 
     Border semantics match scipy/batchgenerators mode='constant' exactly
     (golden-fixture-tested): any sample whose coordinate falls outside
     [0, n-1] on ANY axis is the hard fill value — scipy does NOT blend cval
     into border voxels the way jax's map_coordinates 'constant' mode does,
-    so the fill is applied as an explicit mask."""
+    so the fill is applied as an explicit mask.
+
+    order: 1 = trilinear (default fast path), 3 = the reference's cubic
+    spline (batchgenerators order_data=3) via map_coordinates_cubic."""
     coords = affine_coords(angles, scale, center, patch_size)
     inside = jnp.ones(coords.shape[1:], bool)
     for ax in range(3):
         c = coords[ax]
         inside &= (c >= 0.0) & (c <= image.shape[ax] - 1.0)
-    img_out = map_coordinates(image, list(coords), order=1, mode="constant",
-                              cval=BORDER_CVAL_DATA)
+    if order == 3:
+        img_out = map_coordinates_cubic(image, coords)
+    else:
+        img_out = map_coordinates(image, list(coords), order=1,
+                                  mode="constant", cval=BORDER_CVAL_DATA)
     lab_out = map_coordinates(label, list(coords), order=0, mode="constant",
                               cval=0.0)
     return (jnp.where(inside, img_out, BORDER_CVAL_DATA),
@@ -125,18 +220,21 @@ def warp_with_params(image: jax.Array, label: jax.Array, angles, scale,
 
 
 def _warp_one(image: jax.Array, label: jax.Array, key: jax.Array,
-              patch_size) -> Tuple[jax.Array, jax.Array]:
+              patch_size, order: int = 1) -> Tuple[jax.Array, jax.Array]:
     angles, sc, ctr = sample_affine_params(key, patch_size, image.shape)
-    return warp_with_params(image, label, angles, sc, ctr, patch_size)
+    return warp_with_params(image, label, angles, sc, ctr, patch_size,
+                            order=order)
 
 
-@partial(jax.jit, static_argnames=("patch_size",))
+@partial(jax.jit, static_argnames=("patch_size", "order"))
 def spatial_augment(images: jax.Array, labels: jax.Array, key: jax.Array,
-                    patch_size: Tuple[int, int, int] = (128, 128, 128)):
-    """Batched random affine warp. images/labels: [B, D, H, W] float32."""
+                    patch_size: Tuple[int, int, int] = (128, 128, 128),
+                    order: int = 1):
+    """Batched random affine warp. images/labels: [B, D, H, W] float32.
+    order 3 = the reference's cubic image interpolation (--aug_order 3)."""
     keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(_warp_one, in_axes=(0, 0, 0, None))(
-        images, labels, keys, patch_size)
+    return jax.vmap(_warp_one, in_axes=(0, 0, 0, None, None))(
+        images, labels, keys, patch_size, order)
 
 
 def intensity_normalize(images: jax.Array) -> jax.Array:

@@ -332,3 +332,47 @@ def test_stencil_under_spatial_mesh_matches_single_device(rng, monkeypatch):
     assert abs(loss_1 - loss_sp) < 1e-6, (loss_1, loss_sp)
     np.testing.assert_allclose(np.asarray(w_1), np.asarray(w_sp),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_fused_prologue_under_spatial_mesh(rng, monkeypatch):
+    """The fused norm+relu prologue conv under the spatial halo wrap: the
+    dlim plane-range must zero edge shards' missing-neighbour halo AFTER
+    the prologue (ppermute zero fill would otherwise become relu(shift)).
+    Forward and gradients vs the global composition."""
+    monkeypatch.setenv("VAESEG_STENCIL", "1")  # interpret-mode pallas on CPU
+    from vae_segmentation_tpu.models import blocks
+    from vae_segmentation_tpu.ops.pallas.stencil3 import conv3_stencil_pre
+
+    bsz, cin, cout = 2, 8, 8
+    x = jnp.asarray(rng.normal(size=(bsz, 8, 8, 8, cin)), jnp.float32)
+    s = jnp.asarray(1.0 + 0.3 * rng.normal(size=(bsz, cin)), jnp.float32)
+    # nonzero-mean shift so relu(shift) != 0 — the exact failure mode
+    # dlim exists to prevent
+    t = jnp.asarray(0.5 + 0.3 * rng.normal(size=(bsz, cin)), jnp.float32)
+    k = jnp.asarray(0.2 * rng.normal(size=(3, 3, 3, cin, cout)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+
+    def ref(x, s, t):
+        xn = jnp.maximum(x * s[:, None, None, None, :]
+                         + t[:, None, None, None, :], 0.0)
+        return jax.lax.conv_general_dilated(
+            xn, k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+
+    mesh = parallel.make_mesh(n_data=2, n_spatial=4)  # 2 D-planes per shard
+    try:
+        blocks.set_stencil_mesh(mesh)
+        wrapped = blocks.stencil_shard_wrap_pre(conv3_stencil_pre)
+        out = wrapped(x, s, t, k, b)
+        g = jax.grad(lambda x_, s_, t_: jnp.sum(
+            wrapped(x_, s_, t_, k, b) ** 2), argnums=(0, 1, 2))(x, s, t)
+    finally:
+        blocks.set_stencil_mesh(None)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(x, s, t)),
+                               rtol=1e-4, atol=1e-4)
+    g_ref = jax.grad(lambda x_, s_, t_: jnp.sum(ref(x_, s_, t_) ** 2),
+                     argnums=(0, 1, 2))(x, s, t)
+    for name, gf, gr in zip("xst", g, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)

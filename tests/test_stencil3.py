@@ -137,3 +137,110 @@ def test_grouped_folded_parity(rng):
         np.testing.assert_allclose(np.asarray(gxp), np.asarray(gxx),
                                    rtol=3e-4, atol=3e-4,
                                    err_msg=f"wpack={wpack} dx")
+
+
+def test_pre_fused_parity(rng):
+    """conv3_stencil_pre == conv3_stencil(relu(x*s+t)) — the fused
+    InstanceNorm+ReLU prologue, forward AND all five gradients."""
+    from vae_segmentation_tpu.ops.pallas.stencil3 import conv3_stencil_pre
+
+    bsz, cin, cout = 2, 8, 8
+    x = jnp.asarray(rng.normal(size=(bsz, 4, 4, 8, cin)), jnp.float32)
+    s = jnp.asarray(1.0 + 0.3 * rng.normal(size=(bsz, cin)), jnp.float32)
+    t = jnp.asarray(0.3 * rng.normal(size=(bsz, cin)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(bsz, 4, 4, 8, cout)), jnp.float32)
+
+    def f_fused(x, s, t, k, b):
+        return jnp.mean(jnp.square(conv3_stencil_pre(x, s, t, k, b) - tgt))
+
+    def f_ref(x, s, t, k, b):
+        xn = jnp.maximum(x * s[:, None, None, None, :]
+                         + t[:, None, None, None, :], 0.0)
+        return jnp.mean(jnp.square(conv3_stencil(xn, k, b) - tgt))
+
+    np.testing.assert_allclose(
+        float(f_fused(x, s, t, k, b)), float(f_ref(x, s, t, k, b)),
+        rtol=1e-5)
+    g_f = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4))(x, s, t, k, b)
+    g_r = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(x, s, t, k, b)
+    for name, gf, gr in zip("xstkb", g_f, g_r):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_pre_fused_folded_parity(rng):
+    """conv3_stencil_folded_pre (grouped-tap + prologue) == unfused
+    norm-affine + conv3_stencil_folded, on plain-folded and W-PACKED reps,
+    forward and gradients."""
+    from vae_segmentation_tpu.ops import s2d
+    from vae_segmentation_tpu.ops.pallas.stencil3 import (
+        conv3_stencil_folded, conv3_stencil_folded_pre)
+
+    for wpack in (False, True):
+        c_in, c_out = (8, 8) if wpack else (16, 16)
+        pack = s2d.NB * (s2d.WPACK if wpack else 1)
+        x = jnp.asarray(rng.normal(size=(1, 4, 8, 32, c_in)), jnp.float32)
+        xf = s2d.fold_rep(x, wpack)
+        cin_f = xf.shape[-1]
+        s = jnp.asarray(1.0 + 0.3 * rng.normal(size=(1, cin_f)), jnp.float32)
+        t = jnp.asarray(0.3 * rng.normal(size=(1, cin_f)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 3, c_in, c_out)) * 0.3,
+                        jnp.float32)
+        b = jnp.asarray(rng.normal(size=(c_out,)), jnp.float32)
+        bias_f = jnp.tile(b, pack)
+        ke = s2d.expand_kernel3_fast(k)
+        if wpack:
+            ke = s2d.expand_kernel_w(ke)
+        tgt = jnp.asarray(rng.normal(size=xf.shape[:-1] + (pack * c_out,)),
+                          jnp.float32)
+
+        def f_fused(xf, s, t, kk):
+            y = conv3_stencil_folded_pre(xf, s, t, kk, bias_f, wpack)
+            return jnp.mean(jnp.square(y - tgt))
+
+        def f_ref(xf, s, t, kk):
+            xn = jnp.maximum(xf * s[:, None, None, None, :]
+                             + t[:, None, None, None, :], 0.0)
+            y = conv3_stencil_folded(xn, kk, bias_f, wpack)
+            return jnp.mean(jnp.square(y - tgt))
+
+        np.testing.assert_allclose(
+            float(f_fused(xf, s, t, ke)), float(f_ref(xf, s, t, ke)),
+            rtol=1e-5, err_msg=f"wpack={wpack}")
+        g_f = jax.grad(f_fused, argnums=(0, 1, 2, 3))(xf, s, t, ke)
+        g_r = jax.grad(f_ref, argnums=(0, 1, 2, 3))(xf, s, t, ke)
+        for name, gf, gr in zip(("x", "s", "t", "k"), g_f, g_r):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-5,
+                err_msg=f"wpack={wpack} {name}")
+
+
+def test_model_fused_prologue_parity(rng, monkeypatch):
+    """Folded SegUNet forward + gradient with the fused norm+relu prologue
+    (VAESEG_FUSE=1, the default) equals the unfused stencil path
+    (VAESEG_FUSE=0). f32 compute -> tight tolerance."""
+    monkeypatch.setenv("VAESEG_S2D", "1")
+    monkeypatch.setenv("VAESEG_STENCIL", "1")
+    from vae_segmentation_tpu.models import SegUNet
+
+    img = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)), jnp.float32)
+    model = SegUNet(n_class=2, fmaps=(2, 3, 4, 5, 6, 8), dtype=jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, img)["params"]
+
+    def run(fuse):
+        monkeypatch.setenv("VAESEG_FUSE", fuse)
+        out = model.apply({"params": params}, img)
+        g = jax.grad(lambda p: jnp.sum(
+            model.apply({"params": p}, img) ** 2))(params)
+        return np.asarray(out), g
+
+    o1, g1 = run("1")
+    o0, g0 = run("0")
+    np.testing.assert_allclose(o1, o0, rtol=1e-5, atol=1e-6)
+    for (p1, l1), (_, l0) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g0)[0]):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(p1))

@@ -115,6 +115,57 @@ def stencil_shard_wrap(fn):
     return dispatch
 
 
+def stencil_shard_wrap_pre(fn):
+    """stencil_shard_wrap for the fused-prologue ops (x, scale, shift, k,
+    b): scale/shift are per-(batch, channel) [B, C] — sharded over 'data',
+    no spatial dim. Under spatial meshes the halo wrap passes the per-shard
+    dlim valid-plane range: the prologue maps ppermute's zero fill to
+    relu(shift) != 0, so edge shards must mask their missing-neighbour
+    halo INSIDE the kernel (after the prologue) instead."""
+    if _STENCIL_MESH is None:
+        return fn
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _STENCIL_MESH
+    n_data = mesh.shape["data"]
+    n_sp = mesh.shape.get("spatial", 1)
+
+    if n_sp == 1:
+        sharded = shard_map(
+            fn, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P(), P()),
+            out_specs=P("data"), check_vma=False)
+    else:
+        send_down = [(i, i + 1) for i in range(n_sp - 1)]
+        send_up = [(i + 1, i) for i in range(n_sp - 1)]
+
+        def halo_fn(x, s, t, k, b):
+            xm = jax.lax.ppermute(x[:, -1:], "spatial", send_down)
+            xp = jax.lax.ppermute(x[:, :1], "spatial", send_up)
+            idx = jax.lax.axis_index("spatial")
+            d_pad = x.shape[1] + 2
+            dlim = jnp.stack([
+                jnp.where(idx == 0, 1, 0),
+                jnp.where(idx == n_sp - 1, d_pad - 2, d_pad - 1),
+            ]).astype(jnp.int32)
+            y = fn(jnp.concatenate([xm, x, xp], axis=1), s, t, k, b,
+                   dlim=dlim)
+            return y[:, 1:-1]
+
+        sharded = shard_map(
+            halo_fn, mesh=mesh,
+            in_specs=(P("data", "spatial"), P("data"), P("data"), P(), P()),
+            out_specs=P("data", "spatial"), check_vma=False)
+
+    def dispatch(x, s, t, k, b):
+        if x.shape[0] % n_data != 0 or x.shape[1] % n_sp != 0:
+            return fn(x, s, t, k, b)
+        return sharded(x, s, t, k, b)
+
+    return dispatch
+
+
 def use_stencil() -> bool:
     """Route folded 3^3 convs through the Pallas stencil kernel
     (ops/pallas/stencil3.py) — ON by default on TPU, where it runs the
@@ -128,6 +179,43 @@ def use_stencil() -> bool:
     if env is not None:
         return env == "1"
     return jax.default_backend() == "tpu"
+
+
+def use_fused_prologue() -> bool:
+    """Fuse each intra-DoubleConv InstanceNorm+ReLU into the NEXT stencil
+    conv as an in-kernel prologue (ops/pallas/stencil3.py::*_pre) — the
+    north-star conv+norm+activation fusion. The elementwise normalize pass
+    (a full HBM write + read of the stage activation between two convs)
+    collapses into a reduce-only stats pass. ON whenever the stencil path
+    is; VAESEG_FUSE=0/1 overrides for A/B measurement."""
+    env = os.environ.get("VAESEG_FUSE")
+    if env is not None:
+        return env == "1"
+    return True
+
+
+def instance_norm_affine(x: jax.Array, eps: float = 1e-5):
+    """The (scale, shift) [B, C] f32 affine of parameter-free InstanceNorm
+    WITHOUT applying it — reduce-only, for the fused conv prologue."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2, 3))
+    var = jnp.var(x32, axis=(1, 2, 3))
+    rstd = jax.lax.rsqrt(var + eps)
+    return rstd, -mean * rstd
+
+
+def stencil_takes(shape, mode: str) -> bool:
+    """Would Conv3 route a 3^3/s1/SAME conv on this input through the
+    stencil kernel? Mirrors the conditions in Conv3.__call__ — used by
+    DoubleConv to decide whether the norm+relu after the PREVIOUS conv can
+    ride into the next conv as a fused prologue."""
+    if not use_stencil():
+        return False
+    if mode == "normal":
+        return shape[-1] >= 32 and shape[3] >= 16 and shape[3] % 8 == 0
+    if mode == "folded":
+        return shape[3] % 8 == 0
+    return False
 
 
 def use_pallas_norm() -> bool:
@@ -302,7 +390,7 @@ class Conv3(nn.Module):
     wpack: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre=None):
         from vae_segmentation_tpu.ops import s2d
 
         pack = s2d.WPACK if self.wpack else 1
@@ -316,18 +404,36 @@ class Conv3(nn.Module):
         b = self.param("bias", torch_bias_init(fan_in), (self.features,),
                        jnp.float32)
         xd = x.astype(self.dtype)
+        if pre is not None:
+            assert self.mode in ("normal", "folded"), self.mode
+
+        def pre_xla(xd):
+            # pre given but the stencil path not taken: apply the norm
+            # affine + relu as the plain XLA elementwise it fuses anyway
+            if pre is None:
+                return xd
+            s_, t_ = pre
+            return jnp.maximum(
+                xd * s_[:, None, None, None, :].astype(self.dtype)
+                + t_[:, None, None, None, :].astype(self.dtype),
+                jnp.zeros((), self.dtype))
+
         if self.mode == "normal":
             if use_stencil() and tuple(self.kernel) == (3, 3, 3) \
                     and tuple(self.strides) == (1, 1, 1) \
                     and self.padding == "SAME" and in_ch >= 32 \
                     and xd.shape[3] >= 16 and xd.shape[3] % 8 == 0:
-                from vae_segmentation_tpu.ops.pallas.stencil3 import \
-                    conv3_stencil
+                from vae_segmentation_tpu.ops.pallas.stencil3 import (
+                    conv3_stencil, conv3_stencil_pre)
 
+                if pre is not None:
+                    return stencil_shard_wrap_pre(conv3_stencil_pre)(
+                        xd, pre[0], pre[1], k.astype(self.dtype), b)
                 return stencil_shard_wrap(conv3_stencil)(
                     xd, k.astype(self.dtype), b)
             y = jax.lax.conv_general_dilated(
-                xd, k.astype(self.dtype), tuple(self.strides), self.padding,
+                pre_xla(xd), k.astype(self.dtype), tuple(self.strides),
+                self.padding,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         elif self.mode == "folded":
             ke = s2d.expand_kernel3_fast(k)
@@ -336,20 +442,31 @@ class Conv3(nn.Module):
             bias_f = jnp.tile(b, s2d.NB * pack)
             if use_stencil() and xd.shape[3] % 8 == 0:
                 from vae_segmentation_tpu.ops.pallas.stencil3 import (
-                    conv3_stencil, conv3_stencil_folded)
+                    conv3_stencil, conv3_stencil_folded,
+                    conv3_stencil_folded_pre, conv3_stencil_pre)
 
                 if xd.shape[-1] >= 128:
                     # grouped-tap path: exploits the fold structure to merge
                     # the 27 tap-GEMMs into 8 (exact; stencil3.py)
                     wp = self.wpack
+                    if pre is not None:
+                        return stencil_shard_wrap_pre(
+                            lambda x, s_, t_, k_, b_, dlim=None:
+                            conv3_stencil_folded_pre(x, s_, t_, k_, b_, wp,
+                                                     dlim))(
+                            xd, pre[0], pre[1], ke.astype(self.dtype),
+                            bias_f)
                     return stencil_shard_wrap(
                         lambda x, k_, b_: conv3_stencil_folded(x, k_, b_,
                                                                wp))(
                         xd, ke.astype(self.dtype), bias_f)
+                if pre is not None:
+                    return stencil_shard_wrap_pre(conv3_stencil_pre)(
+                        xd, pre[0], pre[1], ke.astype(self.dtype), bias_f)
                 return stencil_shard_wrap(conv3_stencil)(
                     xd, ke.astype(self.dtype), bias_f)
             y = jax.lax.conv_general_dilated(
-                xd, ke.astype(self.dtype), (1, 1, 1), "SAME",
+                pre_xla(xd), ke.astype(self.dtype), (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
             return y + bias_f.astype(self.dtype)
         elif self.mode == "fold_consume":
@@ -459,12 +576,28 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from vae_segmentation_tpu.ops import s2d
+
         mode = "folded" if self.folded else "normal"
-        for _ in range(3):
+        # Intra-chain norm+relu rides into the NEXT conv as a fused
+        # in-kernel prologue (the conv+norm+activation north star): between
+        # two stencil convs only the tiny [B, C] norm affine is computed
+        # (reduce-only) — the full-resolution normalized copy is never
+        # written. The chain's FINAL norm+act stays materialized (its
+        # consumer is the stage boundary, not a stencil conv).
+        fusable = (self.norm_type == 1 and not self.soft
+                   and use_fused_prologue())
+        pre = None
+        for i in range(3):
             x = Conv3(self.features, dtype=self.dtype, mode=mode,
-                      wpack=self.wpack)(x)
-            x = _norm_act(x, self.norm_type, self.soft,
-                          folded_c=self.features if self.folded else 0)
+                      wpack=self.wpack)(x, pre=pre)
+            pre = None
+            if i < 2 and fusable and stencil_takes(x.shape, mode):
+                pre = s2d.instance_norm_folded_affine(x, self.features) \
+                    if self.folded else instance_norm_affine(x)
+            else:
+                x = _norm_act(x, self.norm_type, self.soft,
+                              folded_c=self.features if self.folded else 0)
         return x
 
 

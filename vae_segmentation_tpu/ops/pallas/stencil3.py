@@ -28,6 +28,12 @@ Custom VJP (no residual beyond the inputs):
 Parity: tests/test_stencil3.py (interpret mode on CPU, plus the s2d
 algebraic equivalence). Reference behavior target: the stride-1 SAME conv
 of joint_model.py:35-52/101-112 composed with the s2d fold (exact).
+
+Design history: a first kernel (ops/pallas/conv3.py, removed round 3) kept
+activations in natural [H, W*C] lane-planes to avoid XLA's channel-lane
+padding at C<16; Mosaic rejects its [H, W*C]->[H*W, C] in-kernel view as a
+lane-dimension shape cast, which is WHY this kernel keeps channels in
+lanes end to end and gets its lane density from the s2d fold instead.
 """
 
 from __future__ import annotations
@@ -42,6 +48,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _fwd_params():
+    """CompilerParams for the forward conv kernels. The (B, D) grid has no
+    cross-step dependencies (pure reads of overlapping plane windows,
+    disjoint output blocks) — declaring it so lets Mosaic pipeline plane
+    DMAs across steps instead of serializing on the default arbitrary
+    semantics. VAESEG_STENCIL_DIMSEM=arbitrary reverts (A/B probe)."""
+    if _interpret():
+        return None
+    import os as _os
+    sem = _os.environ.get("VAESEG_STENCIL_DIMSEM", "parallel")
+    dims = ("arbitrary", "arbitrary") if sem == "arbitrary" \
+        else ("parallel", "parallel")
+    return pltpu.CompilerParams(dimension_semantics=dims,
+                                vmem_limit_bytes=32 * 1024 * 1024)
 
 
 def _row_iota(r: int, c: int):
@@ -77,16 +99,37 @@ def _shifted3(plane: jax.Array, dh: int, w: int):
         [_shifted(plane, dh, dw, w) for dw in (-1, 0, 1)], axis=1)
 
 
-def _conv_kernel(xm_ref, x0_ref, xp_ref, k_ref, b_ref, o_ref, *,
-                 h: int, w: int, cin: int, cout: int, d: int, relu: bool):
+def _conv_kernel(xm_ref, x0_ref, xp_ref, *rest,
+                 h: int, w: int, cin: int, cout: int, d: int, relu: bool,
+                 pre: bool = False):
     """One output plane [H, W, Cout] = sum of 9 tap-GEMMs [H*W,3C]@[3C,Cout]
-    over the 3 depth taps."""
+    over the 3 depth taps.
+
+    pre: two extra refs (scale, shift — [1, Cin] per-batch blocks) and each
+    loaded plane becomes relu(plane * scale + shift) BEFORE the taps — the
+    fused InstanceNorm+ReLU prologue (conv+norm+act north star). Applied
+    before the validity mask and the h/w shifts so SAME zero padding pads
+    the NORMALIZED tensor, exactly like the unfused norm -> conv chain."""
+    if pre:
+        s_ref, t_ref, dlim_ref, k_ref, b_ref, o_ref = rest
+    else:
+        k_ref, b_ref, o_ref = rest
     dloc = pl.program_id(1)
     acc = jnp.zeros((h * w, cout), jnp.float32) + b_ref[0:1, :]
     refs = (xm_ref, x0_ref, xp_ref)
     for dd in (-1, 0, 1):
         plane = refs[dd + 1][0, 0].reshape(h * w, cin)
-        if dd:
+        if pre:
+            plane = jnp.maximum(plane * s_ref[0] + t_ref[0],
+                                0.0).astype(plane.dtype)
+            # dlim: valid plane range [lo, hi]. Under the spatial halo wrap
+            # edge shards carry zero-filled halo planes which the prologue
+            # would turn into relu(shift) != 0 — mask EVERY tap (incl.
+            # dd=0) against the per-shard range so out-of-volume stays 0.
+            valid = jnp.logical_and(dloc + dd >= dlim_ref[0],
+                                    dloc + dd <= dlim_ref[1])
+            plane = plane * jnp.where(valid, 1.0, 0.0).astype(plane.dtype)
+        elif dd:
             # zero the out-of-volume depth tap (index_map clamps the block)
             valid = jnp.logical_and(dloc + dd >= 0, dloc + dd <= d - 1)
             plane = plane * jnp.where(valid, 1.0, 0.0).astype(plane.dtype)
@@ -199,15 +242,26 @@ def _grouped_conv_body(planes, w: int, cin: int, c: int, wpack: bool,
         contract(gi, a)
 
 
-def _conv_kernel_grouped(xm_ref, x0_ref, xp_ref, kg_ref, b_ref, o_ref, *,
+def _conv_kernel_grouped(xm_ref, x0_ref, xp_ref, *rest,
                          h: int, w: int, cin: int, cout: int, d: int,
-                         c: int, wpack: bool, relu: bool):
+                         c: int, wpack: bool, relu: bool,
+                         pre: bool = False):
+    if pre:
+        s_ref, t_ref, dlim_ref, kg_ref, b_ref, o_ref = rest
+    else:
+        kg_ref, b_ref, o_ref = rest
     dloc = pl.program_id(1)
     acc = jnp.zeros((h * w, cout), jnp.float32) + b_ref[0:1, :]
 
     def plane(ref, dd):
         p = ref[0, 0].reshape(h * w, cin)
-        if dd:
+        if pre:  # fused InstanceNorm+ReLU prologue + dlim (see _conv_kernel)
+            p = jnp.maximum(p * s_ref[0] + t_ref[0],
+                            0.0).astype(p.dtype)
+            valid = jnp.logical_and(dloc + dd >= dlim_ref[0],
+                                    dloc + dd <= dlim_ref[1])
+            p = p * jnp.where(valid, 1.0, 0.0).astype(p.dtype)
+        elif dd:
             valid = jnp.logical_and(dloc + dd >= 0, dloc + dd <= d - 1)
             p = p * jnp.where(valid, 1.0, 0.0).astype(p.dtype)
         return p
@@ -227,19 +281,40 @@ def _conv_kernel_grouped(xm_ref, x0_ref, xp_ref, kg_ref, b_ref, o_ref, *,
     o_ref[0, 0] = out.reshape(h, w, cout).astype(o_ref.dtype)
 
 
-def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool):
-    """x [B, D, H, W, Cin]; kg [8, Cin, Cout] grouped; b [Cout] f32."""
+def _affine_spec(cin: int):
+    """Per-batch scale/shift block for the fused prologue. The arrays are
+    passed as [B, 1, Cin] so the block's last two dims (1, Cin) equal the
+    array's — Mosaic rejects sub-8 sublane blocks otherwise."""
+    return pl.BlockSpec((1, 1, cin), lambda bi, i: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
+                      dlim=None):
+    """x [B, D, H, W, Cin]; kg [8, Cin, Cout] grouped; b [Cout] f32;
+    pre: optional (scale, shift) [B, Cin] prologue arrays;
+    dlim: [2] int32 valid-plane range for pre (defaults to the whole D)."""
     bsz, d, h, w, cin = x.shape
     cout = kg.shape[-1]
     assert w % 8 == 0, w
+    pre_specs = [] if pre is None else [
+        _affine_spec(cin), _affine_spec(cin),
+        pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if pre is not None and dlim is None:
+        dlim = jnp.array([0, d - 1], jnp.int32)
+    pre_args = () if pre is None else (
+        pre[0].astype(x.dtype)[:, None, :],
+        pre[1].astype(x.dtype)[:, None, :], dlim)
     return pl.pallas_call(
         functools.partial(_conv_kernel_grouped, h=h, w=w, cin=cin,
-                          cout=cout, d=d, c=c, wpack=wpack, relu=relu),
+                          cout=cout, d=d, c=c, wpack=wpack, relu=relu,
+                          pre=pre is not None),
         grid=(bsz, d),
         in_specs=[
             _plane_spec(-1, d, h, w, cin),
             _plane_spec(0, d, h, w, cin),
             _plane_spec(1, d, h, w, cin),
+            *pre_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -247,15 +322,19 @@ def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool):
                                lambda bi, i: (bi, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, d, h, w, cout), x.dtype),
-        compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+        compiler_params=_fwd_params(),
         interpret=_interpret(),
-    )(x, x, x, kg.astype(x.dtype), b.reshape(1, -1).astype(jnp.float32))
+    )(x, x, x, *pre_args, kg.astype(x.dtype),
+      b.reshape(1, -1).astype(jnp.float32))
 
 
-def _dk_kernel_grouped(xm_ref, x0_ref, xp_ref, g_ref, dk_ref, acc_ref, *,
+def _dk_kernel_grouped(xm_ref, x0_ref, xp_ref, *rest,
                        h: int, w: int, cin: int, cout: int, d: int,
-                       c: int, wpack: bool, n: int):
+                       c: int, wpack: bool, n: int, pre: bool = False):
+    if pre:
+        s_ref, t_ref, dlim_ref, g_ref, dk_ref, acc_ref = rest
+    else:
+        g_ref, dk_ref, acc_ref = rest
     step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(step == 0)
@@ -267,7 +346,13 @@ def _dk_kernel_grouped(xm_ref, x0_ref, xp_ref, g_ref, dk_ref, acc_ref, *,
 
     def plane(ref, dd):
         p = ref[0, 0].reshape(h * w, cin)
-        if dd:
+        if pre:  # dk contracts against the NORMALIZED input, dlim-masked
+            p = jnp.maximum(p * s_ref[0] + t_ref[0],
+                            0.0).astype(p.dtype)
+            valid = jnp.logical_and(dloc + dd >= dlim_ref[0],
+                                    dloc + dd <= dlim_ref[1])
+            p = p * jnp.where(valid, 1.0, 0.0).astype(p.dtype)
+        elif dd:
             valid = jnp.logical_and(dloc + dd >= 0, dloc + dd <= d - 1)
             p = p * jnp.where(valid, 1.0, 0.0).astype(p.dtype)
         return p
@@ -286,17 +371,27 @@ def _dk_kernel_grouped(xm_ref, x0_ref, xp_ref, g_ref, dk_ref, acc_ref, *,
         dk_ref[...] = acc_ref[...]
 
 
-def _run_dk_grouped(x, g, c: int, wpack: bool):
+def _run_dk_grouped(x, g, c: int, wpack: bool, pre=None, dlim=None):
     bsz, d, h, w, cin = x.shape
     cout = g.shape[-1]
+    pre_specs = [] if pre is None else [
+        _affine_spec(cin), _affine_spec(cin),
+        pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if pre is not None and dlim is None:
+        dlim = jnp.array([0, d - 1], jnp.int32)
+    pre_args = () if pre is None else (
+        pre[0].astype(x.dtype)[:, None, :],
+        pre[1].astype(x.dtype)[:, None, :], dlim)
     return pl.pallas_call(
         functools.partial(_dk_kernel_grouped, h=h, w=w, cin=cin, cout=cout,
-                          d=d, c=c, wpack=wpack, n=bsz * d),
+                          d=d, c=c, wpack=wpack, n=bsz * d,
+                          pre=pre is not None),
         grid=(bsz, d),
         in_specs=[
             _plane_spec(-1, d, h, w, cin),
             _plane_spec(0, d, h, w, cin),
             _plane_spec(1, d, h, w, cin),
+            *pre_specs,
             pl.BlockSpec((1, 1, h, w, cout),
                          lambda bi, i: (bi, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -308,7 +403,7 @@ def _run_dk_grouped(x, g, c: int, wpack: bool):
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=_interpret(),
-    )(x, x, x, g)
+    )(x, x, x, *pre_args, g)
 
 
 def _plane_spec(off: int, d: int, h: int, w: int, c: int):
@@ -317,20 +412,32 @@ def _plane_spec(off: int, d: int, h: int, w: int, c: int):
     return pl.BlockSpec((1, 1, h, w, c), idx, memory_space=pltpu.VMEM)
 
 
-def _run_conv(x: jax.Array, k: jax.Array, b: jax.Array, relu: bool):
-    """x [B, D, H, W, Cin]; k [3,3,3,Cin,Cout]; b [Cout] f32."""
+def _run_conv(x: jax.Array, k: jax.Array, b: jax.Array, relu: bool,
+              pre=None, dlim=None):
+    """x [B, D, H, W, Cin]; k [3,3,3,Cin,Cout]; b [Cout] f32;
+    pre: optional (scale, shift) [B, Cin] prologue arrays;
+    dlim: [2] int32 valid-plane range for pre (defaults to the whole D)."""
     bsz, d, h, w, cin = x.shape
     cout = k.shape[-1]
     assert w % 8 == 0, w  # [H, W, C] -> [H*W, C] collapse must be layout-free
     kp = _pack_kernel(k).astype(x.dtype)
+    pre_specs = [] if pre is None else [
+        _affine_spec(cin), _affine_spec(cin),
+        pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if pre is not None and dlim is None:
+        dlim = jnp.array([0, d - 1], jnp.int32)
+    pre_args = () if pre is None else (
+        pre[0].astype(x.dtype)[:, None, :],
+        pre[1].astype(x.dtype)[:, None, :], dlim)
     return pl.pallas_call(
         functools.partial(_conv_kernel, h=h, w=w, cin=cin, cout=cout, d=d,
-                          relu=relu),
+                          relu=relu, pre=pre is not None),
         grid=(bsz, d),
         in_specs=[
             _plane_spec(-1, d, h, w, cin),
             _plane_spec(0, d, h, w, cin),
             _plane_spec(1, d, h, w, cin),
+            *pre_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # packed weights
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bias [1, Cout] f32
         ],
@@ -338,19 +445,23 @@ def _run_conv(x: jax.Array, k: jax.Array, b: jax.Array, relu: bool):
                                lambda bi, i: (bi, i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, d, h, w, cout), x.dtype),
-        compiler_params=None if _interpret() else pltpu.CompilerParams(
-            # the widest stage (Cin=256 up5 entry at 64^3) sits at ~16.1 MB
-            # with double-buffered planes; the default scoped limit is a
-            # conservative 16 MB, well under the hardware VMEM
-            vmem_limit_bytes=32 * 1024 * 1024),
+        # the widest stage (Cin=256 up5 entry at 64^3) sits at ~16.1 MB with
+        # double-buffered planes; the default scoped limit is a conservative
+        # 16 MB, well under the hardware VMEM (32 MB set in _fwd_params)
+        compiler_params=_fwd_params(),
         interpret=_interpret(),
-    )(x, x, x, kp, b.reshape(1, -1).astype(jnp.float32))
+    )(x, x, x, *pre_args, kp, b.reshape(1, -1).astype(jnp.float32))
 
 
-def _dk_kernel(xm_ref, x0_ref, xp_ref, g_ref, dk_ref, acc_ref, *,
-               h: int, w: int, cin: int, cout: int, d: int, n: int):
+def _dk_kernel(xm_ref, x0_ref, xp_ref, *rest,
+               h: int, w: int, cin: int, cout: int, d: int, n: int,
+               pre: bool = False):
     """dk[dd, dh, 3Cin, Cout] += A3(x, dd, dh)^T @ g, accumulated across the
     sequential (B, D) grid in f32 scratch."""
+    if pre:
+        s_ref, t_ref, dlim_ref, g_ref, dk_ref, acc_ref = rest
+    else:
+        g_ref, dk_ref, acc_ref = rest
     step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(step == 0)
@@ -362,7 +473,13 @@ def _dk_kernel(xm_ref, x0_ref, xp_ref, g_ref, dk_ref, acc_ref, *,
     refs = (xm_ref, x0_ref, xp_ref)
     for dd in (-1, 0, 1):
         plane = refs[dd + 1][0, 0].reshape(h * w, cin)
-        if dd:
+        if pre:  # dk contracts against the NORMALIZED input, dlim-masked
+            plane = jnp.maximum(plane * s_ref[0] + t_ref[0],
+                                0.0).astype(plane.dtype)
+            valid = jnp.logical_and(dloc + dd >= dlim_ref[0],
+                                    dloc + dd <= dlim_ref[1])
+            plane = plane * jnp.where(valid, 1.0, 0.0).astype(plane.dtype)
+        elif dd:
             valid = jnp.logical_and(dloc + dd >= 0, dloc + dd <= d - 1)
             plane = plane * jnp.where(valid, 1.0, 0.0).astype(plane.dtype)
         for dh in (-1, 0, 1):
@@ -384,17 +501,26 @@ def _dk_kernel(xm_ref, x0_ref, xp_ref, g_ref, dk_ref, acc_ref, *,
         dk_ref[...] = acc_ref[...]
 
 
-def _run_dk(x: jax.Array, g: jax.Array):
+def _run_dk(x: jax.Array, g: jax.Array, pre=None, dlim=None):
     bsz, d, h, w, cin = x.shape
     cout = g.shape[-1]
+    pre_specs = [] if pre is None else [
+        _affine_spec(cin), _affine_spec(cin),
+        pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if pre is not None and dlim is None:
+        dlim = jnp.array([0, d - 1], jnp.int32)
+    pre_args = () if pre is None else (
+        pre[0].astype(x.dtype)[:, None, :],
+        pre[1].astype(x.dtype)[:, None, :], dlim)
     dk = pl.pallas_call(
         functools.partial(_dk_kernel, h=h, w=w, cin=cin, cout=cout, d=d,
-                          n=bsz * d),
+                          n=bsz * d, pre=pre is not None),
         grid=(bsz, d),
         in_specs=[
             _plane_spec(-1, d, h, w, cin),
             _plane_spec(0, d, h, w, cin),
             _plane_spec(1, d, h, w, cin),
+            *pre_specs,
             pl.BlockSpec((1, 1, h, w, cout),
                          lambda bi, i: (bi, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -407,7 +533,7 @@ def _run_dk(x: jax.Array, g: jax.Array):
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=_interpret(),
-    )(x, x, x, g)
+    )(x, x, x, *pre_args, g)
     # [3, 3, 3Cin, Cout] -> [3,3,3,Cin,Cout] (undo the dw lane-stack)
     return dk.reshape(3, 3, 3, cin, cout)
 
@@ -493,3 +619,116 @@ def _bwd_folded(wpack, relu, res, gy):
 
 
 conv3_stencil_folded.defvjp(_fwd_folded, _bwd_folded)
+
+
+# ---------------------------------------------------------------------------
+# Fused InstanceNorm+ReLU -> conv PROLOGUE ops (the north-star
+# "conv+norm+activation" fusion, BASELINE.json):
+#
+#     y = conv3(relu(x * scale + shift), k) + b
+#
+# without materializing the normalized tensor — the elementwise
+# normalize+relu pass between two convs (a full HBM write + read of the
+# stage activation) disappears into the consumer conv's plane loads.
+# scale/shift are the [B, Cin] per-(batch, channel) affine of a
+# parameter-free InstanceNorm, computed upstream in XLA from x's statistics
+# (a reduce-only pass); gradients flow back into x both through this VJP
+# and through that stats computation.
+# ---------------------------------------------------------------------------
+
+
+def _pre_mask_grads(x, s, t, gxn, dlim):
+    """Backward elementwise shared by both pre ops: push the
+    normalized-input cotangent gxn through relu(x*s + t). One fused XLA
+    pass (mask + scale + tiny reductions); nothing full-resolution is
+    materialized beyond dx itself.
+
+    dlim masks out-of-volume planes from the ds/dt reductions: under the
+    spatial halo wrap an edge shard's halo plane does not exist globally,
+    but gxn is nonzero there (the backward conv's contribution to the
+    discarded SAME-padding position) and with x=0 the relu mask is t>0 —
+    without the mask dt would pick up that spurious term. dx needs no
+    mask: edge-halo cotangents are dropped by the ppermute transpose."""
+    sb = s[:, None, None, None, :].astype(jnp.float32)
+    tb = t[:, None, None, None, :].astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    gm = jnp.where(x32 * sb + tb > 0, gxn.astype(jnp.float32), 0.0)
+    dx = (gm * sb).astype(x.dtype)
+    if dlim is not None:
+        didx = jnp.arange(x.shape[1])[None, :, None, None, None]
+        gm = jnp.where((didx >= dlim[0]) & (didx <= dlim[1]), gm, 0.0)
+    ds = jnp.sum(gm * x32, axis=(1, 2, 3))
+    dt = jnp.sum(gm, axis=(1, 2, 3))
+    return dx, ds.astype(s.dtype), dt.astype(t.dtype)
+
+
+def _dlim_ct(dlim):
+    """Cotangent for the integer dlim operand (float0 when present)."""
+    import numpy as _np
+    return None if dlim is None else _np.zeros((2,), jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def conv3_stencil_pre(x: jax.Array, s: jax.Array, t: jax.Array,
+                      k: jax.Array, b: jax.Array,
+                      dlim=None) -> jax.Array:
+    """conv3_stencil with the fused norm+relu prologue (dense kernels).
+    dlim: optional [2] int32 valid D-plane range (spatial halo wrap)."""
+    y, _ = _fwd_pre(x, s, t, k, b, dlim)
+    return y
+
+
+def _fwd_pre(x, s, t, k, b, dlim):
+    return (_run_conv(x, k, b, False, pre=(s, t), dlim=dlim),
+            (x, s, t, k, b, dlim))
+
+
+def _bwd_pre(res, gy):
+    x, s, t, k, b, dlim = res
+    k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    gxn = _run_conv(gy, k_t, jnp.zeros((k.shape[3],), jnp.float32), False)
+    dx, ds, dt = _pre_mask_grads(x, s, t, gxn, dlim)
+    dk = _run_dk(x, gy, pre=(s, t), dlim=dlim)
+    db = jnp.sum(gy, axis=(0, 1, 2, 3), dtype=jnp.float32)
+    return dx, ds, dt, dk.astype(k.dtype), db.astype(b.dtype), _dlim_ct(dlim)
+
+
+conv3_stencil_pre.defvjp(_fwd_pre, _bwd_pre)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def conv3_stencil_folded_pre(x: jax.Array, s: jax.Array, t: jax.Array,
+                             k: jax.Array, b: jax.Array,
+                             wpack: bool = False, dlim=None) -> jax.Array:
+    """conv3_stencil_folded (grouped-tap) with the fused norm+relu
+    prologue. k: s2d-expanded fold-structured kernel; s/t: [B, Cin_folded]
+    (each logical channel's affine repeated over its fold copies).
+    dlim: optional [2] int32 valid D-plane range (spatial halo wrap)."""
+    y, _ = _fwd_folded_pre(x, s, t, k, b, wpack, dlim)
+    return y
+
+
+def _fwd_folded_pre(x, s, t, k, b, wpack, dlim):
+    kg = pack_grouped(k)
+    c = x.shape[-1] // (16 if wpack else 8)
+    return (_run_conv_grouped(x, kg, b, False, c, wpack, pre=(s, t),
+                              dlim=dlim),
+            (x, s, t, k, b, dlim))
+
+
+def _bwd_folded_pre(wpack, res, gy):
+    x, s, t, k, b, dlim = res
+    k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    cout_orig = gy.shape[-1] // (16 if wpack else 8)
+    gxn = _run_conv_grouped(gy, pack_grouped(k_t),
+                            jnp.zeros((k.shape[3],), jnp.float32), False,
+                            cout_orig, wpack)
+    dx, ds, dt = _pre_mask_grads(x, s, t, gxn, dlim)
+    dkg = _run_dk_grouped(x, gy, x.shape[-1] // (16 if wpack else 8), wpack,
+                          pre=(s, t), dlim=dlim)
+    dk = _unpack_grouped_grad(dkg)
+    db = jnp.sum(gy, axis=(0, 1, 2, 3), dtype=jnp.float32)
+    return dx, ds, dt, dk.astype(k.dtype), db.astype(b.dtype), _dlim_ct(dlim)
+
+
+conv3_stencil_folded_pre.defvjp(_fwd_folded_pre, _bwd_folded_pre)

@@ -304,6 +304,18 @@ def instance_norm_folded(xf: jax.Array, c: int, eps: float = 1e-5
     round-2 trace). scale/shift are per-(B, C) f32 scalars, so the only
     rounding added is one bf16 multiply-add on values already stored in
     bf16."""
+    scale, shift = instance_norm_folded_affine(xf, c, eps)
+    scale = scale.astype(xf.dtype)
+    shift = shift.astype(xf.dtype)
+    return xf * scale[:, None, None, None, :] \
+        + shift[:, None, None, None, :]
+
+
+def instance_norm_folded_affine(xf: jax.Array, c: int, eps: float = 1e-5):
+    """The (scale, shift) [B, 8C] f32 affine of instance_norm_folded
+    WITHOUT applying it — for fusion as the prologue of the next stencil
+    conv (ops/pallas/stencil3.py::conv3_stencil_folded_pre). Reduce-only:
+    no full-resolution tensor is produced."""
     b = xf.shape[0]
     fc = xf.shape[-1]
     n = math.prod(xf.shape[1:-1]) * (fc // c)
@@ -315,10 +327,9 @@ def instance_norm_folded(xf: jax.Array, c: int, eps: float = 1e-5
     mean = s / n
     var = ss / n - mean * mean
     rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
-    scale = jnp.tile(rstd, (1, fc // c)).astype(xf.dtype)     # [B, 8C]
-    shift = jnp.tile(-mean * rstd, (1, fc // c)).astype(xf.dtype)
-    return xf * scale[:, None, None, None, :] \
-        + shift[:, None, None, None, :]
+    scale = jnp.tile(rstd, (1, fc // c))            # [B, 8C] f32
+    shift = jnp.tile(-mean * rstd, (1, fc // c))
+    return scale, shift
 
 
 def softmax_folded(xf: jax.Array, c: int) -> jax.Array:

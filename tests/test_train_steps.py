@@ -222,3 +222,35 @@ def test_adapt_loss_finetune_variants():
     got = adapt_loss(jnp.float32(0.4), jnp.float32(0.05), jnp.float32(0.0),
                      jnp.float32(0.0), cfg, sched, variant="finetune")
     np.testing.assert_allclose(float(got), 0.3 + 0.0, rtol=1e-6)
+
+
+def test_vae_step_fused_reparam_scale0_exact(rng, monkeypatch):
+    """The fused reparam+KL path (VAESEG_FUSED_REPARAM=1) equals the XLA
+    path exactly at scale=0 (latent = mean; KL is eps-independent), proving
+    the wiring end-to-end. At scale>0 the two paths draw from different —
+    equally valid — normal streams (kernel docstring)."""
+    from vae_segmentation_tpu.models import ShapeVAE
+    from vae_segmentation_tpu.train import (init_state, make_vae_train_step,
+                                            optim)
+
+    model = ShapeVAE(n_class=2, dim=8, fmaps=(2, 3, 4, 5, 6, 8),
+                     bottleneck=8, dtype=jnp.float32)
+    lab = jnp.asarray(rng.random((2, 32, 32, 32)) > 0.7, jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 32, 32, 32, 2)))["params"]
+    tx = optim.sgd(1e-2)
+
+    def run(flag):
+        monkeypatch.setenv("VAESEG_FUSED_REPARAM", flag)
+        step = make_vae_train_step(model, tx, 2, scale=0.0)
+        st = init_state(jax.tree.map(jnp.copy, params), tx)
+        st, aux = step(st, lab, jax.random.PRNGKey(3))
+        return aux, jax.tree.leaves(st.params)[0]
+
+    a1, w1 = run("1")
+    a0, w0 = run("0")
+    assert abs(float(a1["dice_loss"]) - float(a0["dice_loss"])) < 1e-6
+    assert abs(float(a1["kl_loss"]) - float(a0["kl_loss"])) < 1e-5 * (
+        1.0 + abs(float(a0["kl_loss"])))
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), rtol=1e-6,
+                               atol=1e-7)

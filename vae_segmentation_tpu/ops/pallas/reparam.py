@@ -34,11 +34,15 @@ def _tpu_kernel(seed_ref, mean_ref, std_ref, scale_ref, latent_ref, kl_ref,
     pltpu.prng_seed(seed_ref[0])
     mean = mean_ref[...]
     std = std_ref[...]
-    # uint32 bits -> standard normal via Box-Muller (fp32)
+    # uint32 bits -> standard normal via Box-Muller (fp32). The top 24 bits
+    # go through an int32 view for the float conversion — Mosaic has no
+    # uint32->f32 cast, and >>8 makes the value fit int32 losslessly.
     bits1 = pltpu.bitcast(pltpu.prng_random_bits(mean.shape), jnp.uint32)
     bits2 = pltpu.bitcast(pltpu.prng_random_bits(mean.shape), jnp.uint32)
-    u1 = (bits1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-    u2 = (bits2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    u1 = pltpu.bitcast(bits1 >> 8, jnp.int32).astype(jnp.float32) \
+        * (1.0 / (1 << 24))
+    u2 = pltpu.bitcast(bits2 >> 8, jnp.int32).astype(jnp.float32) \
+        * (1.0 / (1 << 24))
     u1 = jnp.maximum(u1, 1e-7)
     eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
     eps_ref[...] = eps

@@ -53,15 +53,18 @@ def _interpret() -> bool:
 def _fwd_params():
     """CompilerParams for the forward conv kernels. The (B, D) grid has no
     cross-step dependencies (pure reads of overlapping plane windows,
-    disjoint output blocks) — declaring it so lets Mosaic pipeline plane
-    DMAs across steps instead of serializing on the default arbitrary
-    semantics. VAESEG_STENCIL_DIMSEM=arbitrary reverts (A/B probe)."""
+    disjoint output blocks), so "parallel" dimension semantics would be
+    legal — but measured (round 3): declaring them sends Mosaic's scheduler
+    into multi-MINUTE compiles per kernel shape (18 min for the first hot
+    shape) with no observed runtime win on the isolated probe, so the
+    default stays "arbitrary". VAESEG_STENCIL_DIMSEM=parallel re-enables
+    the experiment."""
     if _interpret():
         return None
     import os as _os
-    sem = _os.environ.get("VAESEG_STENCIL_DIMSEM", "parallel")
-    dims = ("arbitrary", "arbitrary") if sem == "arbitrary" \
-        else ("parallel", "parallel")
+    sem = _os.environ.get("VAESEG_STENCIL_DIMSEM", "arbitrary")
+    dims = ("parallel", "parallel") if sem == "parallel" \
+        else ("arbitrary", "arbitrary")
     return pltpu.CompilerParams(dimension_semantics=dims,
                                 vmem_limit_bytes=32 * 1024 * 1024)
 

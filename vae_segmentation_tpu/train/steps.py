@@ -27,6 +27,7 @@ Epoch-level scalars that change between steps without recompiling
 from __future__ import annotations
 
 from dataclasses import dataclass
+import os
 from typing import Any, Dict
 
 import jax
@@ -92,6 +93,21 @@ def default_sched(lambda_vae: float) -> Dict[str, jnp.ndarray]:
 # source-domain steps
 # --------------------------------------------------------------------------
 
+def use_fused_reparam() -> bool:
+    """Route the VAE train step's reparam draw + KL through the fused
+    Pallas kernel (ops/pallas/reparam.py: on-core TPU PRNG + one VMEM pass
+    over the [B, dim] latent stats) — ON by default on TPU (the north-star
+    fused-op surface; the latent is tiny so this is about keeping the
+    subgraph out of XLA's way, not milliseconds). VAESEG_FUSED_REPARAM=0/1
+    overrides. Note the TPU PRNG is a different (equally valid) normal
+    stream than the host-keyed XLA draw; at scale=0 the two paths are
+    bitwise identical (tests/test_train_steps.py)."""
+    env = os.environ.get("VAESEG_FUSED_REPARAM")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def make_vae_train_step(model, tx, n_class: int, *, scale: float = 0.35,
                         kl_weight: float = 2e-5, eps: float = L.SOURCE_EPS,
                         return_display: bool = False):
@@ -101,17 +117,30 @@ def make_vae_train_step(model, tx, n_class: int, *, scale: float = 0.35,
     return_display adds the reference's train-time TB panel to the aux dict:
     [gt class0, gt class1, recon class1] mid-W slices of sample 0
     (main_source.py:394-396)."""
+    fused = use_fused_reparam()
 
     def step(state: TrainState, label: jax.Array, key: jax.Array):
         onehot = L.one_hot_label(label, n_class)
 
         def loss_fn(p):
-            recon, mean, std = model.apply(
-                {"params": p}, onehot, if_random=True, scale=scale,
-                rngs={"reparam": key})
+            if fused:
+                from vae_segmentation_tpu.models.vae import ShapeVAE
+                from vae_segmentation_tpu.ops.pallas import reparam_kl
+
+                mean, std = model.apply({"params": p}, onehot,
+                                        method=ShapeVAE.encode)
+                seed = jax.random.randint(key, (), 0,
+                                          jnp.iinfo(jnp.int32).max)
+                latent, klv = reparam_kl(mean, std, scale, seed)
+                recon = model.apply({"params": p}, latent,
+                                    method=ShapeVAE.decode)
+            else:
+                recon, mean, std = model.apply(
+                    {"params": p}, onehot, if_random=True, scale=scale,
+                    rngs={"reparam": key})
+                klv = L.kl_loss(mean, std)
             dsc_loss = 1.0 - L.avg_dsc(recon, onehot, botindex=1,
                                        topindex=n_class, eps=eps)
-            klv = L.kl_loss(mean, std)
             return dsc_loss + kl_weight * klv, (dsc_loss, klv, recon)
 
         (_, (dsc_loss, klv, recon)), grads = jax.value_and_grad(

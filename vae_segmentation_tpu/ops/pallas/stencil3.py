@@ -58,7 +58,12 @@ def _fwd_params():
     into multi-MINUTE compiles per kernel shape (18 min for the first hot
     shape) with no observed runtime win on the isolated probe, so the
     default stays "arbitrary". VAESEG_STENCIL_DIMSEM=parallel re-enables
-    the experiment."""
+    the experiment.
+
+    vmem_limit: 64 MB (v5e has 128 MB VMEM; Mosaic's default scoped cap is
+    32 MB). The depth-blocked layouts (bd>1) carry (bd+2)-plane input
+    blocks plus kernel temps — the widest stage (64^3 C=256 grouped, bd=4)
+    sits at ~33 MB scoped, which the default cap rejects."""
     if _interpret():
         return None
     import os as _os
@@ -66,7 +71,7 @@ def _fwd_params():
     dims = ("parallel", "parallel") if sem == "parallel" \
         else ("arbitrary", "arbitrary")
     return pltpu.CompilerParams(dimension_semantics=dims,
-                                vmem_limit_bytes=32 * 1024 * 1024)
+                                vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _row_iota(r: int, c: int):
@@ -102,57 +107,81 @@ def _shifted3(plane: jax.Array, dh: int, w: int):
         [_shifted(plane, dh, dw, w) for dw in (-1, 0, 1)], axis=1)
 
 
-def _conv_kernel(xm_ref, x0_ref, xp_ref, *rest,
-                 h: int, w: int, cin: int, cout: int, d: int, relu: bool,
-                 pre: bool = False):
-    """One output plane [H, W, Cout] = sum of 9 tap-GEMMs [H*W,3C]@[3C,Cout]
-    over the 3 depth taps.
+def _load_planes(hp_ref, main_ref, hn_ref, dloc, *, h, w, cin, d, bd,
+                 pre, s_ref, t_ref, dlim_ref):
+    """Load the bd+2 planes a D-block needs — each exactly ONCE, with the
+    optional norm+relu prologue applied once per plane (the bd=1 layout
+    re-reads every plane 3x across grid steps AND re-applies the prologue
+    each time; blocking cuts both). Returns planes[j] = global plane
+    bd*dloc - 1 + j, zero-masked when out of the valid range."""
+    def prep(p, gidx, edge):
+        p = p.reshape(h * w, cin)
+        if pre:
+            p = jnp.maximum(p * s_ref[0] + t_ref[0], 0.0).astype(p.dtype)
+            # dlim: valid plane range [lo, hi]. Under the spatial halo wrap
+            # edge shards carry zero-filled halo planes which the prologue
+            # would turn into relu(shift) != 0 — mask EVERY plane against
+            # the per-shard range so out-of-volume stays 0.
+            valid = jnp.logical_and(gidx >= dlim_ref[0], gidx <= dlim_ref[1])
+            p = p * jnp.where(valid, 1.0, 0.0).astype(p.dtype)
+        elif edge:
+            # zero the out-of-volume halo (index_map clamps the block)
+            valid = jnp.logical_and(gidx >= 0, gidx <= d - 1)
+            p = p * jnp.where(valid, 1.0, 0.0).astype(p.dtype)
+        return p
 
-    pre: two extra refs (scale, shift — [1, Cin] per-batch blocks) and each
-    loaded plane becomes relu(plane * scale + shift) BEFORE the taps — the
-    fused InstanceNorm+ReLU prologue (conv+norm+act north star). Applied
-    before the validity mask and the h/w shifts so SAME zero padding pads
-    the NORMALIZED tensor, exactly like the unfused norm -> conv chain."""
+    base = bd * dloc
+    planes = [prep(hp_ref[0, 0], base - 1, True)]
+    for j in range(bd):
+        # main rows are always in [0, d-1] — no mask unless pre+dlim
+        planes.append(prep(main_ref[0, j], base + j, False))
+    planes.append(prep(hn_ref[0, 0], base + bd, True))
+    return planes
+
+
+def _conv_kernel(hp_ref, main_ref, hn_ref, *rest,
+                 h: int, w: int, cin: int, cout: int, d: int, relu: bool,
+                 bd: int = 1, pre: bool = False):
+    """bd output planes [H, W, Cout] per grid step, each the sum of 9
+    tap-GEMMs [H*W,3C]@[3C,Cout] over its 3 depth taps. Inputs: a 1-plane
+    halo below, the bd-plane main block, a 1-plane halo above — 1 + 2/bd
+    plane DMAs per output instead of the 3 of the unblocked layout.
+
+    pre: extra refs (scale, shift — [1, Cin] per-batch blocks; dlim [2]
+    SMEM) and each loaded plane becomes relu(plane * scale + shift) BEFORE
+    the taps — the fused InstanceNorm+ReLU prologue (conv+norm+act north
+    star). Applied before the validity mask and the h/w shifts so SAME
+    zero padding pads the NORMALIZED tensor, exactly like the unfused
+    norm -> conv chain."""
     if pre:
         s_ref, t_ref, dlim_ref, k_ref, b_ref, o_ref = rest
     else:
+        s_ref = t_ref = dlim_ref = None
         k_ref, b_ref, o_ref = rest
-    dloc = pl.program_id(1)
-    acc = jnp.zeros((h * w, cout), jnp.float32) + b_ref[0:1, :]
-    refs = (xm_ref, x0_ref, xp_ref)
-    for dd in (-1, 0, 1):
-        plane = refs[dd + 1][0, 0].reshape(h * w, cin)
-        if pre:
-            plane = jnp.maximum(plane * s_ref[0] + t_ref[0],
-                                0.0).astype(plane.dtype)
-            # dlim: valid plane range [lo, hi]. Under the spatial halo wrap
-            # edge shards carry zero-filled halo planes which the prologue
-            # would turn into relu(shift) != 0 — mask EVERY tap (incl.
-            # dd=0) against the per-shard range so out-of-volume stays 0.
-            valid = jnp.logical_and(dloc + dd >= dlim_ref[0],
-                                    dloc + dd <= dlim_ref[1])
-            plane = plane * jnp.where(valid, 1.0, 0.0).astype(plane.dtype)
-        elif dd:
-            # zero the out-of-volume depth tap (index_map clamps the block)
-            valid = jnp.logical_and(dloc + dd >= 0, dloc + dd <= d - 1)
-            plane = plane * jnp.where(valid, 1.0, 0.0).astype(plane.dtype)
-        for dh in (-1, 0, 1):
-            if cin >= 128:  # full contraction per dw; no concat buffer
-                for dw in (-1, 0, 1):
+    planes = _load_planes(hp_ref, main_ref, hn_ref, pl.program_id(1),
+                          h=h, w=w, cin=cin, d=d, bd=bd, pre=pre,
+                          s_ref=s_ref, t_ref=t_ref, dlim_ref=dlim_ref)
+    for r in range(bd):
+        acc = jnp.zeros((h * w, cout), jnp.float32) + b_ref[0:1, :]
+        for dd in (-1, 0, 1):
+            plane = planes[r + dd + 1]
+            for dh in (-1, 0, 1):
+                if cin >= 128:  # full contraction per dw; no concat buffer
+                    for dw in (-1, 0, 1):
+                        acc += jax.lax.dot_general(
+                            _shifted(plane, dh, dw, w),
+                            k_ref[dd + 1, dh + 1,
+                                  (dw + 1) * cin:(dw + 2) * cin],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                else:
                     acc += jax.lax.dot_general(
-                        _shifted(plane, dh, dw, w),
-                        k_ref[dd + 1, dh + 1,
-                              (dw + 1) * cin:(dw + 2) * cin],
+                        _shifted3(plane, dh, w), k_ref[dd + 1, dh + 1],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-            else:
-                acc += jax.lax.dot_general(
-                    _shifted3(plane, dh, w), k_ref[dd + 1, dh + 1],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-    if relu:
-        acc = jnp.maximum(acc, 0.0)
-    o_ref[0, 0] = acc.reshape(h, w, cout).astype(o_ref.dtype)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        o_ref[0, r] = acc.reshape(h, w, cout).astype(o_ref.dtype)
 
 
 def _pack_kernel(k: jax.Array) -> jax.Array:
@@ -245,43 +274,64 @@ def _grouped_conv_body(planes, w: int, cin: int, c: int, wpack: bool,
         contract(gi, a)
 
 
-def _conv_kernel_grouped(xm_ref, x0_ref, xp_ref, *rest,
+def _conv_kernel_grouped(hp_ref, main_ref, hn_ref, *rest,
                          h: int, w: int, cin: int, cout: int, d: int,
                          c: int, wpack: bool, relu: bool,
-                         pre: bool = False):
+                         bd: int = 1, pre: bool = False):
     if pre:
         s_ref, t_ref, dlim_ref, kg_ref, b_ref, o_ref = rest
     else:
+        s_ref = t_ref = dlim_ref = None
         kg_ref, b_ref, o_ref = rest
-    dloc = pl.program_id(1)
-    acc = jnp.zeros((h * w, cout), jnp.float32) + b_ref[0:1, :]
+    planes = _load_planes(hp_ref, main_ref, hn_ref, pl.program_id(1),
+                          h=h, w=w, cin=cin, d=d, bd=bd, pre=pre,
+                          s_ref=s_ref, t_ref=t_ref, dlim_ref=dlim_ref)
+    for r in range(bd):
+        accs = [jnp.zeros((h * w, cout), jnp.float32) + b_ref[0:1, :]]
 
-    def plane(ref, dd):
-        p = ref[0, 0].reshape(h * w, cin)
-        if pre:  # fused InstanceNorm+ReLU prologue + dlim (see _conv_kernel)
-            p = jnp.maximum(p * s_ref[0] + t_ref[0],
-                            0.0).astype(p.dtype)
-            valid = jnp.logical_and(dloc + dd >= dlim_ref[0],
-                                    dloc + dd <= dlim_ref[1])
-            p = p * jnp.where(valid, 1.0, 0.0).astype(p.dtype)
-        elif dd:
-            valid = jnp.logical_and(dloc + dd >= 0, dloc + dd <= d - 1)
-            p = p * jnp.where(valid, 1.0, 0.0).astype(p.dtype)
-        return p
+        def contract(gi, a, accs=accs):
+            accs[0] = accs[0] + jax.lax.dot_general(
+                a, kg_ref[gi], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-    planes = (plane(xm_ref, -1), plane(x0_ref, 0), plane(xp_ref, 1))
-    accs = [acc]
+        _grouped_conv_body((planes[r], planes[r + 1], planes[r + 2]),
+                           w, cin, c, wpack, contract)
+        out = accs[0]
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        o_ref[0, r] = out.reshape(h, w, cout).astype(o_ref.dtype)
 
-    def contract(gi, a):
-        accs[0] = accs[0] + jax.lax.dot_general(
-            a, kg_ref[gi], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
 
-    _grouped_conv_body(planes, w, cin, c, wpack, contract)
-    out = accs[0]
-    if relu:
-        out = jnp.maximum(out, 0.0)
-    o_ref[0, 0] = out.reshape(h, w, cout).astype(o_ref.dtype)
+def _halo_spec(off: int, d: int, h: int, w: int, c: int, bd: int):
+    """Single-plane halo block: global plane bd*i - 1 (off<0) or bd*i + bd
+    (off>0), clamped into the volume (the kernel masks the clamp)."""
+    delta = bd if off > 0 else -1
+
+    def idx(b, i):
+        return (b, jnp.clip(bd * i + delta, 0, d - 1), 0, 0, 0)
+
+    return pl.BlockSpec((1, 1, h, w, c), idx, memory_space=pltpu.VMEM)
+
+
+def _main_spec(h: int, w: int, c: int, bd: int):
+    return pl.BlockSpec((1, bd, h, w, c), lambda b, i: (b, i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _pick_bd(d: int, h: int, w: int, cin: int, cout: int, dlim) -> int:
+    """D-block size for the fwd conv kernels: the largest divisor of D
+    whose working set ((bd+2) input + bd output planes, double-buffered)
+    fits comfortably in VMEM. Forced to 1 under a nontrivial dlim (the
+    spatial halo wrap's slab length D+2 need not divide)."""
+    if dlim is not None:
+        return 1
+    budget = 24 * 1024 * 1024
+    for bd in (8, 4, 2):
+        if d % bd:
+            continue
+        if 2 * 2 * h * w * ((bd + 2) * cin + bd * cout) <= budget:
+            return bd
+    return 1
 
 
 def _affine_spec(cin: int):
@@ -300,6 +350,7 @@ def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
     bsz, d, h, w, cin = x.shape
     cout = kg.shape[-1]
     assert w % 8 == 0, w
+    bd = _pick_bd(d, h, w, cin, cout, dlim)
     pre_specs = [] if pre is None else [
         _affine_spec(cin), _affine_spec(cin),
         pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -311,19 +362,17 @@ def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
     return pl.pallas_call(
         functools.partial(_conv_kernel_grouped, h=h, w=w, cin=cin,
                           cout=cout, d=d, c=c, wpack=wpack, relu=relu,
-                          pre=pre is not None),
-        grid=(bsz, d),
+                          bd=bd, pre=pre is not None),
+        grid=(bsz, d // bd),
         in_specs=[
-            _plane_spec(-1, d, h, w, cin),
-            _plane_spec(0, d, h, w, cin),
-            _plane_spec(1, d, h, w, cin),
+            _halo_spec(-1, d, h, w, cin, bd),
+            _main_spec(h, w, cin, bd),
+            _halo_spec(1, d, h, w, cin, bd),
             *pre_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, h, w, cout),
-                               lambda bi, i: (bi, i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=_main_spec(h, w, cout, bd),
         out_shape=jax.ShapeDtypeStruct((bsz, d, h, w, cout), x.dtype),
         compiler_params=_fwd_params(),
         interpret=_interpret(),
@@ -424,6 +473,9 @@ def _run_conv(x: jax.Array, k: jax.Array, b: jax.Array, relu: bool,
     cout = k.shape[-1]
     assert w % 8 == 0, w  # [H, W, C] -> [H*W, C] collapse must be layout-free
     kp = _pack_kernel(k).astype(x.dtype)
+    # the dense kernel's _shifted3 concat buffers (cin < 128) triple the
+    # plane working set; halve the block budget accordingly
+    bd = _pick_bd(d, h, w, cin * (3 if cin < 128 else 1), cout, dlim)
     pre_specs = [] if pre is None else [
         _affine_spec(cin), _affine_spec(cin),
         pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -434,23 +486,18 @@ def _run_conv(x: jax.Array, k: jax.Array, b: jax.Array, relu: bool,
         pre[1].astype(x.dtype)[:, None, :], dlim)
     return pl.pallas_call(
         functools.partial(_conv_kernel, h=h, w=w, cin=cin, cout=cout, d=d,
-                          relu=relu, pre=pre is not None),
-        grid=(bsz, d),
+                          relu=relu, bd=bd, pre=pre is not None),
+        grid=(bsz, d // bd),
         in_specs=[
-            _plane_spec(-1, d, h, w, cin),
-            _plane_spec(0, d, h, w, cin),
-            _plane_spec(1, d, h, w, cin),
+            _halo_spec(-1, d, h, w, cin, bd),
+            _main_spec(h, w, cin, bd),
+            _halo_spec(1, d, h, w, cin, bd),
             *pre_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # packed weights
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bias [1, Cout] f32
         ],
-        out_specs=pl.BlockSpec((1, 1, h, w, cout),
-                               lambda bi, i: (bi, i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=_main_spec(h, w, cout, bd),
         out_shape=jax.ShapeDtypeStruct((bsz, d, h, w, cout), x.dtype),
-        # the widest stage (Cin=256 up5 entry at 64^3) sits at ~16.1 MB with
-        # double-buffered planes; the default scoped limit is a conservative
-        # 16 MB, well under the hardware VMEM (32 MB set in _fwd_params)
         compiler_params=_fwd_params(),
         interpret=_interpret(),
     )(x, x, x, *pre_args, kp, b.reshape(1, -1).astype(jnp.float32))

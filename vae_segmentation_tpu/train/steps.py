@@ -50,8 +50,10 @@ def _folded_onehot(label: jax.Array, n_class: int,
     lab_f = s2d.fold(label[..., None])  # [B, D/2, H/2, W/2, 8]
     if wpack:
         lab_f = s2d.fold_w(lab_f)       # [B, D/2, H/2, W/4, 16]
-    return jax.nn.one_hot(lab_f.astype(jnp.int32), n_class,
-                          dtype=jnp.bfloat16)
+    # float equality compare, not one_hot: the int32 cast materializes s32
+    # copies of the folded volume with layout fixes (losses.one_hot_label)
+    classes = jnp.arange(n_class, dtype=lab_f.dtype)
+    return (lab_f[..., None] == classes).astype(jnp.bfloat16)
 
 
 def _classes_view(x: jax.Array, n_class: int, folded: bool) -> jax.Array:

@@ -65,12 +65,14 @@ class SegUNet(nn.Module):
         self.in_block = CNA(f[0], fold_input=fold, wpack=wp, **kw)
         self.down1 = RDown(f[1], folded_in=fold, folded_out=fold,
                            wpack_in=wp, **kw)
-        self.down2 = RDown(f[2], folded_in=fold, **kw)
-        self.down3 = RDown(f[3], **kw)
+        # the 32^3-logical stage folds too (16^3 x 8*f[2] lanes): unfolded
+        # it runs C=32 convs at ~10% MXU utilization (round-3 trace)
+        self.down2 = RDown(f[2], folded_in=fold, folded_out=fold, **kw)
+        self.down3 = RDown(f[3], folded_in=fold, **kw)
         self.down4 = RDown(f[4], **kw)
         self.up2 = RUp(f[3], **kw)
-        self.up3 = RUp(f[2], **kw)
-        self.up4 = RUp(f[1], folded_out=fold, **kw)
+        self.up3 = RUp(f[2], folded_out=fold, **kw)
+        self.up4 = RUp(f[1], folded_in=fold, folded_out=fold, **kw)
         self.up5 = RUp(f[0], folded_in=fold, folded_out=fold,
                        wpack_out=wp, **kw)
         self.out_block = OutConv(self.n_class, dtype=self.dtype, folded=fold,

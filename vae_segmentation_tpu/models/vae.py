@@ -87,8 +87,9 @@ class ShapeVAE(nn.Module):
                             wpack=wp, **kw)
         self.down1 = RDown(f[1], folded_in=fold, folded_out=fold,
                            wpack_in=wp, **kw)
-        self.down2 = RDown(f[2], folded_in=fold, **kw)
-        self.down3 = RDown(f[3], **kw)
+        # 32^3-logical stage folded too (16^3 x 8*f[2] lanes) — see SegUNet
+        self.down2 = RDown(f[2], folded_in=fold, folded_out=fold, **kw)
+        self.down3 = RDown(f[3], folded_in=fold, **kw)
         self.down4 = RDown(f[4], **kw)
         self.down5 = RDown(f[5], **kw)
         self.fc_mean = _dense(self.dim, self.bottleneck, self.dtype)
@@ -96,8 +97,8 @@ class ShapeVAE(nn.Module):
         self.fc2 = _dense(self.bottleneck, self.dim, self.dtype)
         self.up1 = RUp(f[4], **kw)
         self.up2 = RUp(f[3], **kw)
-        self.up3 = RUp(f[2], **kw)
-        self.up4 = RUp(f[1], folded_out=fold, **kw)
+        self.up3 = RUp(f[2], folded_out=fold, **kw)
+        self.up4 = RUp(f[1], folded_in=fold, folded_out=fold, **kw)
         self.up5 = RUp(f[0], folded_in=fold, folded_out=fold,
                        wpack_out=wp, **kw)
         self.out_block = OutConv(self.n_class, dtype=self.dtype, folded=fold,

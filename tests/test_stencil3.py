@@ -244,3 +244,93 @@ def test_model_fused_prologue_parity(rng, monkeypatch):
             jax.tree_util.tree_flatten_with_path(g0)[0]):
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
                                    rtol=1e-4, atol=1e-5, err_msg=str(p1))
+
+
+def test_stats_epilogue_forward_and_grad(rng):
+    """stats=True returns the output's per-batch (sum, sumsq) alongside an
+    unchanged y, and gradients through the stats outputs match computing
+    the same reductions in XLA from y."""
+    from vae_segmentation_tpu.ops.pallas.stencil3 import (
+        conv3_stencil_folded, conv3_stencil_pre)
+
+    B, C, O = 2, 32, 16
+    x = jnp.asarray(rng.normal(size=(B, 4, 4, 8, C)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, C, O)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(O,)), jnp.float32)
+
+    y0 = conv3_stencil(x, k, b)
+    y1, st = conv3_stencil(x, k, b, False, True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_allclose(np.asarray(st[:, 0]),
+                               np.asarray(jnp.sum(y0, axis=(1, 2, 3))),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st[:, 1]),
+                               np.asarray(jnp.sum(y0 * y0, axis=(1, 2, 3))),
+                               rtol=1e-5, atol=1e-4)
+
+    def f_stats(x, k, b):
+        y, st = conv3_stencil(x, k, b, False, True)
+        return (jnp.sum(y * 0.3) + jnp.sum(st[:, 0] * 1.7)
+                + jnp.sum(st[:, 1] * 0.11))
+
+    def f_ref(x, k, b):
+        y = conv3_stencil(x, k, b)
+        return (jnp.sum(y * 0.3)
+                + jnp.sum(jnp.sum(y, axis=(1, 2, 3)) * 1.7)
+                + jnp.sum(jnp.sum(y * y, axis=(1, 2, 3)) * 0.11))
+
+    g1 = jax.grad(f_stats, argnums=(0, 1, 2))(x, k, b)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(x, k, b)
+    for name, a, c in zip("xkb", g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+    # grouped + pre variants: stats equal XLA reductions of y
+    from vae_segmentation_tpu.ops import s2d
+
+    kf = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 2)) * 0.3, jnp.float32)
+    ke = s2d.expand_kernel3_fast(kf)
+    xf = jnp.asarray(rng.normal(size=(B, 4, 4, 8, 16)), jnp.float32)
+    bf = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    y0 = conv3_stencil_folded(xf, ke, bf, False)
+    y1, st = conv3_stencil_folded(xf, ke, bf, False, False, True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_allclose(np.asarray(st[:, 0]),
+                               np.asarray(jnp.sum(y0, axis=(1, 2, 3))),
+                               rtol=1e-5, atol=1e-4)
+
+    s_ = jnp.asarray(rng.normal(size=(B, C)), jnp.float32)
+    t_ = jnp.asarray(rng.normal(size=(B, C)), jnp.float32)
+    y0 = conv3_stencil_pre(x, s_, t_, k, b)
+    y1, st = conv3_stencil_pre(x, s_, t_, k, b, None, True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_allclose(np.asarray(st[:, 1]),
+                               np.asarray(jnp.sum(y0 * y0, axis=(1, 2, 3))),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_model_stats_affine_parity(rng, monkeypatch):
+    """Folded SegUNet with the stencil path (stats-epilogue affines) equals
+    the plain XLA folded path, forward and gradient (f32 compute)."""
+    monkeypatch.setenv("VAESEG_S2D", "1")
+    from vae_segmentation_tpu.models import SegUNet
+
+    img = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)), jnp.float32)
+    model = SegUNet(n_class=2, fmaps=(2, 3, 4, 5, 6, 8), dtype=jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, img)["params"]
+
+    def run(stencil):
+        monkeypatch.setenv("VAESEG_STENCIL", stencil)
+        out = model.apply({"params": params}, img)
+        g = jax.grad(lambda p: jnp.sum(
+            model.apply({"params": p}, img) ** 2))(params)
+        return np.asarray(out), g
+
+    o1, g1 = run("1")
+    o0, g0 = run("0")
+    np.testing.assert_allclose(o1, o0, rtol=1e-5, atol=1e-6)
+    for (p1, l1), (_, l0) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g0)[0]):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(p1))

@@ -68,9 +68,20 @@ def set_stencil_mesh(mesh) -> None:
     _STENCIL_MESH = mesh
 
 
-def stencil_shard_wrap(fn):
+def stencil_stats_ok() -> bool:
+    """Whether the in-kernel stats epilogue (sum/sumsq outputs feeding the
+    instance-norm affine) is usable under the active mesh: stats are
+    per-batch-element, so batch ('data') sharding splits them cleanly, but
+    a spatial mesh runs the conv per D-slab (with halo planes that must
+    not pollute the statistics) — those meshes keep the XLA reduce path."""
+    return _STENCIL_MESH is None or \
+        _STENCIL_MESH.shape.get("spatial", 1) == 1
+
+
+def stencil_shard_wrap(fn, stats: bool = False):
     """Wrap a stencil conv op (x, k, b) -> y for the active DP mesh, if
     any: x/y batch-sharded over 'data', weights/bias replicated.
+    stats: fn returns (y, stats) — both batch-sharded (DP meshes only).
 
     Shape-aware: batches that don't split evenly over the 'data' axis
     (val_batch=1 eval, ragged last val batches, per-case ft1 finetune —
@@ -87,8 +98,10 @@ def stencil_shard_wrap(fn):
 
     if n_sp == 1:
         sharded = shard_map(fn, mesh=mesh, in_specs=(P("data"), P(), P()),
-                            out_specs=P("data"), check_vma=False)
+                            out_specs=(P("data"), P("data")) if stats
+                            else P("data"), check_vma=False)
     else:
+        assert not stats, "stats epilogue requires a DP-only mesh"
         # D-axis halo exchange: each shard computes the conv on its D-slab
         # padded with the neighbours' boundary planes. ppermute leaves the
         # edge shards' missing neighbour as zeros — exactly the conv's
@@ -115,7 +128,7 @@ def stencil_shard_wrap(fn):
     return dispatch
 
 
-def stencil_shard_wrap_pre(fn):
+def stencil_shard_wrap_pre(fn, stats: bool = False):
     """stencil_shard_wrap for the fused-prologue ops (x, scale, shift, k,
     b): scale/shift are per-(batch, channel) [B, C] — sharded over 'data',
     no spatial dim. Under spatial meshes the halo wrap passes the per-shard
@@ -135,8 +148,10 @@ def stencil_shard_wrap_pre(fn):
         sharded = shard_map(
             fn, mesh=mesh,
             in_specs=(P("data"), P("data"), P("data"), P(), P()),
-            out_specs=P("data"), check_vma=False)
+            out_specs=(P("data"), P("data")) if stats else P("data"),
+            check_vma=False)
     else:
+        assert not stats, "stats epilogue requires a DP-only mesh"
         send_down = [(i, i + 1) for i in range(n_sp - 1)]
         send_up = [(i + 1, i) for i in range(n_sp - 1)]
 
@@ -202,6 +217,26 @@ def instance_norm_affine(x: jax.Array, eps: float = 1e-5):
     var = jnp.var(x32, axis=(1, 2, 3))
     rstd = jax.lax.rsqrt(var + eps)
     return rstd, -mean * rstd
+
+
+def affine_from_stats(st: jax.Array, n_spatial: int, c: int,
+                      eps: float = 1e-5):
+    """Instance-norm (scale, shift) [B, FC] f32 affine from a stencil
+    conv's in-kernel (sum, sumsq) stats output [B, 2, FC] — no reduce pass
+    over the activation. c: the ORIGINAL channel count (fold copies
+    grouped exactly as s2d.instance_norm_folded_affine; FC == c for
+    unfolded tensors). n_spatial: number of positions per (batch, folded
+    channel), i.e. prod of the tensor's D/H/W dims."""
+    ssum, ssq = st[:, 0], st[:, 1]
+    b, fc = ssum.shape
+    g = fc // c
+    s = ssum.reshape(b, g, c).sum(axis=1)
+    q = ssq.reshape(b, g, c).sum(axis=1)
+    n = n_spatial * g
+    mean = s / n
+    var = q / n - mean * mean
+    rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    return jnp.tile(rstd, (1, g)), jnp.tile(-mean * rstd, (1, g))
 
 
 def stencil_takes(shape, mode: str) -> bool:
@@ -390,7 +425,7 @@ class Conv3(nn.Module):
     wpack: bool = False
 
     @nn.compact
-    def __call__(self, x, pre=None):
+    def __call__(self, x, pre=None, want_stats: bool = False):
         from vae_segmentation_tpu.ops import s2d
 
         pack = s2d.WPACK if self.wpack else 1
@@ -406,6 +441,17 @@ class Conv3(nn.Module):
         xd = x.astype(self.dtype)
         if pre is not None:
             assert self.mode in ("normal", "folded"), self.mode
+        # want_stats: ALSO return the output's [B, 2, Cout] f32 (sum,
+        # sumsq) — (y, stats) with stats None when the taken path can't
+        # provide them (XLA conv, spatial mesh). Kernel-emitted stats save
+        # the following instance norm its full re-read of the activation.
+        want = want_stats and stencil_stats_ok()
+
+        def ret(y, st=None):
+            return (y, st) if want_stats else y
+
+        def unpack(out):
+            return ret(*out) if want else ret(out)
 
         def pre_xla(xd):
             # pre given but the stencil path not taken: apply the norm
@@ -427,10 +473,17 @@ class Conv3(nn.Module):
                     conv3_stencil, conv3_stencil_pre)
 
                 if pre is not None:
-                    return stencil_shard_wrap_pre(conv3_stencil_pre)(
+                    out = stencil_shard_wrap_pre(
+                        lambda x_, s_, t_, k_, b_, dlim=None:
+                        conv3_stencil_pre(x_, s_, t_, k_, b_, dlim, want),
+                        stats=want)(
                         xd, pre[0], pre[1], k.astype(self.dtype), b)
-                return stencil_shard_wrap(conv3_stencil)(
-                    xd, k.astype(self.dtype), b)
+                else:
+                    out = stencil_shard_wrap(
+                        lambda x_, k_, b_:
+                        conv3_stencil(x_, k_, b_, False, want),
+                        stats=want)(xd, k.astype(self.dtype), b)
+                return unpack(out)
             y = jax.lax.conv_general_dilated(
                 pre_xla(xd), k.astype(self.dtype), tuple(self.strides),
                 self.padding,
@@ -450,25 +503,36 @@ class Conv3(nn.Module):
                     # the 27 tap-GEMMs into 8 (exact; stencil3.py)
                     wp = self.wpack
                     if pre is not None:
-                        return stencil_shard_wrap_pre(
-                            lambda x, s_, t_, k_, b_, dlim=None:
-                            conv3_stencil_folded_pre(x, s_, t_, k_, b_, wp,
-                                                     dlim))(
+                        out = stencil_shard_wrap_pre(
+                            lambda x_, s_, t_, k_, b_, dlim=None:
+                            conv3_stencil_folded_pre(x_, s_, t_, k_, b_, wp,
+                                                     dlim, want),
+                            stats=want)(
                             xd, pre[0], pre[1], ke.astype(self.dtype),
                             bias_f)
-                    return stencil_shard_wrap(
-                        lambda x, k_, b_: conv3_stencil_folded(x, k_, b_,
-                                                               wp))(
-                        xd, ke.astype(self.dtype), bias_f)
+                    else:
+                        out = stencil_shard_wrap(
+                            lambda x_, k_, b_:
+                            conv3_stencil_folded(x_, k_, b_, wp, False,
+                                                 want),
+                            stats=want)(xd, ke.astype(self.dtype), bias_f)
+                    return unpack(out)
                 if pre is not None:
-                    return stencil_shard_wrap_pre(conv3_stencil_pre)(
+                    out = stencil_shard_wrap_pre(
+                        lambda x_, s_, t_, k_, b_, dlim=None:
+                        conv3_stencil_pre(x_, s_, t_, k_, b_, dlim, want),
+                        stats=want)(
                         xd, pre[0], pre[1], ke.astype(self.dtype), bias_f)
-                return stencil_shard_wrap(conv3_stencil)(
-                    xd, ke.astype(self.dtype), bias_f)
+                else:
+                    out = stencil_shard_wrap(
+                        lambda x_, k_, b_:
+                        conv3_stencil(x_, k_, b_, False, want),
+                        stats=want)(xd, ke.astype(self.dtype), bias_f)
+                return unpack(out)
             y = jax.lax.conv_general_dilated(
                 pre_xla(xd), ke.astype(self.dtype), (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-            return y + bias_f.astype(self.dtype)
+            return ret(y + bias_f.astype(self.dtype))
         elif self.mode == "fold_consume":
             kd = s2d.expand_down_kernel_w(k) if self.wpack \
                 else s2d.expand_down_kernel(k)
@@ -477,7 +541,7 @@ class Conv3(nn.Module):
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
             # wpack: output is the W-PAIRED coarse tensor (two coarse voxels
             # per position in channels); the Down module un-pairs it.
-            return y + jnp.tile(b, pack).astype(self.dtype)
+            return ret(y + jnp.tile(b, pack).astype(self.dtype))
         elif self.mode == "fold_input":
             if use_stencil() and (xd.shape[3] // (2 * pack)) % 8 == 0:
                 # fold the RAW input first (a cheap reorg of the 1-channel
@@ -491,15 +555,19 @@ class Conv3(nn.Module):
                 ke = s2d.expand_kernel3_fast(k)
                 if self.wpack:
                     ke = s2d.expand_kernel_w(ke)
-                return stencil_shard_wrap(conv3_stencil)(
+                out = stencil_shard_wrap(
+                    lambda x_, k_, b_:
+                    conv3_stencil(x_, k_, b_, False, want),
+                    stats=want)(
                     xf, ke.astype(self.dtype), jnp.tile(b, s2d.NB * pack))
+                return unpack(out)
             y = s2d.fold_conv(xd, k, dtype=self.dtype)
             if self.wpack:
                 y = s2d.fold_w(y)
-            return y + jnp.tile(b, s2d.NB * pack).astype(self.dtype)
+            return ret(y + jnp.tile(b, s2d.NB * pack).astype(self.dtype))
         else:
             raise ValueError(self.mode)
-        return y + b.astype(self.dtype)
+        return ret(y + b.astype(self.dtype))
 
 
 class TConv2(nn.Module):
@@ -557,8 +625,20 @@ class ConvNormAct(nn.Module):
     def __call__(self, x):
         mode = "fold_input" if self.fold_input else (
             "folded" if self.folded else "normal")
-        x = Conv3(self.features, dtype=self.dtype, mode=mode,
-                  wpack=self.wpack)(x)
+        conv = Conv3(self.features, dtype=self.dtype, mode=mode,
+                     wpack=self.wpack)
+        if self.norm_type == 1:
+            x, st = conv(x, want_stats=True)
+            if st is not None:
+                # instance-norm affine from the kernel-emitted stats: no
+                # reduce pass over the conv output
+                scale, shift = affine_from_stats(
+                    st, math.prod(x.shape[1:4]), self.features)
+                return _act(self.soft)(
+                    x * scale.astype(x.dtype)[:, None, None, None, :]
+                    + shift.astype(x.dtype)[:, None, None, None, :])
+        else:
+            x = conv(x)
         fc = self.features if (self.folded or self.fold_input) else 0
         return _norm_act(x, self.norm_type, self.soft, folded_c=fc)
 
@@ -581,20 +661,37 @@ class DoubleConv(nn.Module):
         mode = "folded" if self.folded else "normal"
         # Intra-chain norm+relu rides into the NEXT conv as a fused
         # in-kernel prologue (the conv+norm+activation north star): between
-        # two stencil convs only the tiny [B, C] norm affine is computed
-        # (reduce-only) — the full-resolution normalized copy is never
-        # written. The chain's FINAL norm+act stays materialized (its
-        # consumer is the stage boundary, not a stencil conv).
+        # two stencil convs only the tiny [B, C] norm affine is computed —
+        # and with the stats epilogue even that affine comes from the
+        # producer kernel's (sum, sumsq) outputs, so the full-resolution
+        # activation is written once and never re-read for statistics.
+        # The chain's FINAL norm+act stays materialized (its consumer is
+        # the stage boundary, not a stencil conv) but its affine uses the
+        # kernel stats too.
         fusable = (self.norm_type == 1 and not self.soft
                    and use_fused_prologue())
+        affinable = self.norm_type == 1
         pre = None
         for i in range(3):
-            x = Conv3(self.features, dtype=self.dtype, mode=mode,
-                      wpack=self.wpack)(x, pre=pre)
+            conv = Conv3(self.features, dtype=self.dtype, mode=mode,
+                         wpack=self.wpack)
+            if affinable:
+                x, st = conv(x, pre=pre, want_stats=True)
+            else:
+                x, st = conv(x, pre=pre), None
             pre = None
+            n_spatial = math.prod(x.shape[1:4])
             if i < 2 and fusable and stencil_takes(x.shape, mode):
-                pre = s2d.instance_norm_folded_affine(x, self.features) \
-                    if self.folded else instance_norm_affine(x)
+                pre = affine_from_stats(st, n_spatial, self.features) \
+                    if st is not None else (
+                    s2d.instance_norm_folded_affine(x, self.features)
+                    if self.folded else instance_norm_affine(x))
+            elif st is not None:
+                scale, shift = affine_from_stats(st, n_spatial,
+                                                 self.features)
+                x = _act(self.soft)(
+                    x * scale.astype(x.dtype)[:, None, None, None, :]
+                    + shift.astype(x.dtype)[:, None, None, None, :])
             else:
                 x = _norm_act(x, self.norm_type, self.soft,
                               folded_c=self.features if self.folded else 0)

@@ -139,9 +139,33 @@ def _load_planes(hp_ref, main_ref, hn_ref, dloc, *, h, w, cin, d, bd,
     return planes
 
 
+def _accum_stats(st_ref, outs):
+    """Stats epilogue: accumulate per-(batch, channel) sum / sum-of-squares
+    of the STORED output planes into the [1, 2, Cout] f32 stats block
+    (revisited across the D grid; init at the first step). Computed from
+    the cast values so downstream instance-norm statistics match the
+    unfused convert+reduce bit-for-bit up to summation order — the whole
+    point is that the consumer's stats pass no longer re-reads the
+    activation from HBM."""
+    s = q = None
+    for oc in outs:
+        o32 = oc.astype(jnp.float32)
+        ps = jnp.sum(o32, axis=0, keepdims=True)          # [1, Cout]
+        pq = jnp.sum(o32 * o32, axis=0, keepdims=True)
+        s = ps if s is None else s + ps
+        q = pq if q is None else q + pq
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        st_ref[...] = jnp.zeros_like(st_ref)
+
+    st_ref[0, 0:1, :] += s
+    st_ref[0, 1:2, :] += q
+
+
 def _conv_kernel(hp_ref, main_ref, hn_ref, *rest,
                  h: int, w: int, cin: int, cout: int, d: int, relu: bool,
-                 bd: int = 1, pre: bool = False):
+                 bd: int = 1, pre: bool = False, stats: bool = False):
     """bd output planes [H, W, Cout] per grid step, each the sum of 9
     tap-GEMMs [H*W,3C]@[3C,Cout] over its 3 depth taps. Inputs: a 1-plane
     halo below, the bd-plane main block, a 1-plane halo above — 1 + 2/bd
@@ -152,15 +176,19 @@ def _conv_kernel(hp_ref, main_ref, hn_ref, *rest,
     the taps — the fused InstanceNorm+ReLU prologue (conv+norm+act north
     star). Applied before the validity mask and the h/w shifts so SAME
     zero padding pads the NORMALIZED tensor, exactly like the unfused
-    norm -> conv chain."""
+    norm -> conv chain.
+
+    stats: extra [1, 2, Cout] f32 output accumulating the output's
+    per-(batch, channel) sum and sum-of-squares (see _accum_stats)."""
     if pre:
-        s_ref, t_ref, dlim_ref, k_ref, b_ref, o_ref = rest
+        s_ref, t_ref, dlim_ref, k_ref, b_ref, o_ref, *st = rest
     else:
         s_ref = t_ref = dlim_ref = None
-        k_ref, b_ref, o_ref = rest
+        k_ref, b_ref, o_ref, *st = rest
     planes = _load_planes(hp_ref, main_ref, hn_ref, pl.program_id(1),
                           h=h, w=w, cin=cin, d=d, bd=bd, pre=pre,
                           s_ref=s_ref, t_ref=t_ref, dlim_ref=dlim_ref)
+    outs = []
     for r in range(bd):
         acc = jnp.zeros((h * w, cout), jnp.float32) + b_ref[0:1, :]
         for dd in (-1, 0, 1):
@@ -181,7 +209,12 @@ def _conv_kernel(hp_ref, main_ref, hn_ref, *rest,
                         preferred_element_type=jnp.float32)
         if relu:
             acc = jnp.maximum(acc, 0.0)
-        o_ref[0, r] = acc.reshape(h, w, cout).astype(o_ref.dtype)
+        oc = acc.reshape(h, w, cout).astype(o_ref.dtype)
+        o_ref[0, r] = oc
+        if stats:
+            outs.append(oc.reshape(h * w, cout))
+    if stats:
+        _accum_stats(st[0], outs)
 
 
 def _pack_kernel(k: jax.Array) -> jax.Array:
@@ -277,15 +310,17 @@ def _grouped_conv_body(planes, w: int, cin: int, c: int, wpack: bool,
 def _conv_kernel_grouped(hp_ref, main_ref, hn_ref, *rest,
                          h: int, w: int, cin: int, cout: int, d: int,
                          c: int, wpack: bool, relu: bool,
-                         bd: int = 1, pre: bool = False):
+                         bd: int = 1, pre: bool = False,
+                         stats: bool = False):
     if pre:
-        s_ref, t_ref, dlim_ref, kg_ref, b_ref, o_ref = rest
+        s_ref, t_ref, dlim_ref, kg_ref, b_ref, o_ref, *st = rest
     else:
         s_ref = t_ref = dlim_ref = None
-        kg_ref, b_ref, o_ref = rest
+        kg_ref, b_ref, o_ref, *st = rest
     planes = _load_planes(hp_ref, main_ref, hn_ref, pl.program_id(1),
                           h=h, w=w, cin=cin, d=d, bd=bd, pre=pre,
                           s_ref=s_ref, t_ref=t_ref, dlim_ref=dlim_ref)
+    outs = []
     for r in range(bd):
         accs = [jnp.zeros((h * w, cout), jnp.float32) + b_ref[0:1, :]]
 
@@ -299,7 +334,12 @@ def _conv_kernel_grouped(hp_ref, main_ref, hn_ref, *rest,
         out = accs[0]
         if relu:
             out = jnp.maximum(out, 0.0)
-        o_ref[0, r] = out.reshape(h, w, cout).astype(o_ref.dtype)
+        oc = out.reshape(h, w, cout).astype(o_ref.dtype)
+        o_ref[0, r] = oc
+        if stats:
+            outs.append(oc.reshape(h * w, cout))
+    if stats:
+        _accum_stats(st[0], outs)
 
 
 def _halo_spec(off: int, d: int, h: int, w: int, c: int, bd: int):
@@ -342,11 +382,19 @@ def _affine_spec(cin: int):
                         memory_space=pltpu.VMEM)
 
 
+def _stats_spec(cout: int):
+    """[B, 2, Cout] f32 stats output: one (sum, sumsq) block per batch,
+    revisited (accumulated) across the D grid axis."""
+    return pl.BlockSpec((1, 2, cout), lambda bi, i: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
-                      dlim=None):
+                      dlim=None, stats=False):
     """x [B, D, H, W, Cin]; kg [8, Cin, Cout] grouped; b [Cout] f32;
     pre: optional (scale, shift) [B, Cin] prologue arrays;
-    dlim: [2] int32 valid-plane range for pre (defaults to the whole D)."""
+    dlim: [2] int32 valid-plane range for pre (defaults to the whole D);
+    stats: also return the output's [B, 2, Cout] f32 (sum, sumsq)."""
     bsz, d, h, w, cin = x.shape
     cout = kg.shape[-1]
     assert w % 8 == 0, w
@@ -359,10 +407,16 @@ def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
     pre_args = () if pre is None else (
         pre[0].astype(x.dtype)[:, None, :],
         pre[1].astype(x.dtype)[:, None, :], dlim)
+    out_specs = _main_spec(h, w, cout, bd)
+    out_shape = jax.ShapeDtypeStruct((bsz, d, h, w, cout), x.dtype)
+    if stats:
+        out_specs = (out_specs, _stats_spec(cout))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bsz, 2, cout), jnp.float32))
     return pl.pallas_call(
         functools.partial(_conv_kernel_grouped, h=h, w=w, cin=cin,
                           cout=cout, d=d, c=c, wpack=wpack, relu=relu,
-                          bd=bd, pre=pre is not None),
+                          bd=bd, pre=pre is not None, stats=stats),
         grid=(bsz, d // bd),
         in_specs=[
             _halo_spec(-1, d, h, w, cin, bd),
@@ -372,8 +426,8 @@ def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=_main_spec(h, w, cout, bd),
-        out_shape=jax.ShapeDtypeStruct((bsz, d, h, w, cout), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=_fwd_params(),
         interpret=_interpret(),
     )(x, x, x, *pre_args, kg.astype(x.dtype),
@@ -465,10 +519,11 @@ def _plane_spec(off: int, d: int, h: int, w: int, c: int):
 
 
 def _run_conv(x: jax.Array, k: jax.Array, b: jax.Array, relu: bool,
-              pre=None, dlim=None):
+              pre=None, dlim=None, stats=False):
     """x [B, D, H, W, Cin]; k [3,3,3,Cin,Cout]; b [Cout] f32;
     pre: optional (scale, shift) [B, Cin] prologue arrays;
-    dlim: [2] int32 valid-plane range for pre (defaults to the whole D)."""
+    dlim: [2] int32 valid-plane range for pre (defaults to the whole D);
+    stats: also return the output's [B, 2, Cout] f32 (sum, sumsq)."""
     bsz, d, h, w, cin = x.shape
     cout = k.shape[-1]
     assert w % 8 == 0, w  # [H, W, C] -> [H*W, C] collapse must be layout-free
@@ -484,9 +539,16 @@ def _run_conv(x: jax.Array, k: jax.Array, b: jax.Array, relu: bool,
     pre_args = () if pre is None else (
         pre[0].astype(x.dtype)[:, None, :],
         pre[1].astype(x.dtype)[:, None, :], dlim)
+    out_specs = _main_spec(h, w, cout, bd)
+    out_shape = jax.ShapeDtypeStruct((bsz, d, h, w, cout), x.dtype)
+    if stats:
+        out_specs = (out_specs, _stats_spec(cout))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bsz, 2, cout), jnp.float32))
     return pl.pallas_call(
         functools.partial(_conv_kernel, h=h, w=w, cin=cin, cout=cout, d=d,
-                          relu=relu, bd=bd, pre=pre is not None),
+                          relu=relu, bd=bd, pre=pre is not None,
+                          stats=stats),
         grid=(bsz, d // bd),
         in_specs=[
             _halo_spec(-1, d, h, w, cin, bd),
@@ -496,8 +558,8 @@ def _run_conv(x: jax.Array, k: jax.Array, b: jax.Array, relu: bool,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # packed weights
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bias [1, Cout] f32
         ],
-        out_specs=_main_spec(h, w, cout, bd),
-        out_shape=jax.ShapeDtypeStruct((bsz, d, h, w, cout), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=_fwd_params(),
         interpret=_interpret(),
     )(x, x, x, *pre_args, kp, b.reshape(1, -1).astype(jnp.float32))
@@ -588,23 +650,38 @@ def _run_dk(x: jax.Array, g: jax.Array, pre=None, dlim=None):
     return dk.reshape(3, 3, 3, cin, cout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _stats_cotangent(y, gy, gst):
+    """Fold the stats-output cotangents into gy: the stats are
+    sum(y) / sum(y^2), so d(sum)/dy = 1 and d(sumsq)/dy = 2y. One fused
+    XLA elementwise pass over tensors the backward touches anyway."""
+    y32 = y.astype(jnp.float32)
+    gs = gst[:, 0][:, None, None, None, :]
+    gq = gst[:, 1][:, None, None, None, :]
+    return (gy.astype(jnp.float32) + gs + 2.0 * y32 * gq).astype(gy.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def conv3_stencil(x: jax.Array, k: jax.Array, b: jax.Array,
-                  relu: bool = False) -> jax.Array:
+                  relu: bool = False, stats: bool = False):
     """3^3 stride-1 SAME conv + bias (optional fused ReLU) on
     [B, D, H, W, C], lane-native (W % 8 == 0; C should be a multiple of
-    the lane tile for full efficiency). k may be bf16 or f32."""
-    y, _ = _fwd(x, k, b, relu)
-    return y
+    the lane tile for full efficiency). k may be bf16 or f32.
+    stats: also return the output's [B, 2, Cout] f32 (sum, sumsq) —
+    accumulated in-kernel so a following instance norm needs no reduce
+    pass over the activation."""
+    out, _ = _fwd(x, k, b, relu, stats)
+    return out
 
 
-def _fwd(x, k, b, relu):
-    y = _run_conv(x, k, b, relu)
-    return y, (x, k, b, y if relu else None)
+def _fwd(x, k, b, relu, stats):
+    out = _run_conv(x, k, b, relu, stats=stats)
+    y = out[0] if stats else out
+    return out, (x, k, b, y if (relu or stats) else None)
 
 
-def _bwd(relu, res, gy):
+def _bwd(relu, stats, res, g):
     x, k, b, y = res
+    gy = _stats_cotangent(y, g[0], g[1]) if stats else g
     if relu:
         gy = jnp.where(y > 0, gy, jnp.zeros((), gy.dtype))
     k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
@@ -630,28 +707,32 @@ def _unpack_grouped_grad(dkg: jax.Array) -> jax.Array:
     return jnp.stack([jnp.stack(r) for r in rows])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def conv3_stencil_folded(x: jax.Array, k: jax.Array, b: jax.Array,
-                         wpack: bool = False, relu: bool = False
-                         ) -> jax.Array:
+                         wpack: bool = False, relu: bool = False,
+                         stats: bool = False):
     """Grouped-tap stencil conv for FOLD-STRUCTURED kernels only: k must be
     an s2d-expanded kernel ([3,3,3,Cin,Cout] with the per-axis disjoint tap
     supports of ops/s2d.py), x the matching folded tensor. Exactly equal to
     conv3_stencil on such kernels, at ~1/3 of the MXU passes. NOT correct
-    for dense kernels (the group sums would alias taps)."""
-    y, _ = _fwd_folded(x, k, b, wpack, relu)
-    return y
+    for dense kernels (the group sums would alias taps).
+    stats: also return the output's [B, 2, Cout] f32 (sum, sumsq)."""
+    out, _ = _fwd_folded(x, k, b, wpack, relu, stats)
+    return out
 
 
-def _fwd_folded(x, k, b, wpack, relu):
+def _fwd_folded(x, k, b, wpack, relu, stats):
     kg = pack_grouped(k)
-    y = _run_conv_grouped(x, kg, b, relu, x.shape[-1] // (16 if wpack
-                                                          else 8), wpack)
-    return y, (x, k, b, y if relu else None)
+    out = _run_conv_grouped(x, kg, b, relu,
+                            x.shape[-1] // (16 if wpack else 8), wpack,
+                            stats=stats)
+    y = out[0] if stats else out
+    return out, (x, k, b, y if (relu or stats) else None)
 
 
-def _bwd_folded(wpack, relu, res, gy):
+def _bwd_folded(wpack, relu, stats, res, g):
     x, k, b, y = res
+    gy = _stats_cotangent(y, g[0], g[1]) if stats else g
     if relu:
         gy = jnp.where(y > 0, gy, jnp.zeros((), gy.dtype))
     # dx: flipped kernel, I/O channels swapped — flip+transpose PRESERVES
@@ -718,23 +799,26 @@ def _dlim_ct(dlim):
     return None if dlim is None else _np.zeros((2,), jax.dtypes.float0)
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def conv3_stencil_pre(x: jax.Array, s: jax.Array, t: jax.Array,
                       k: jax.Array, b: jax.Array,
-                      dlim=None) -> jax.Array:
+                      dlim=None, stats: bool = False):
     """conv3_stencil with the fused norm+relu prologue (dense kernels).
-    dlim: optional [2] int32 valid D-plane range (spatial halo wrap)."""
-    y, _ = _fwd_pre(x, s, t, k, b, dlim)
-    return y
+    dlim: optional [2] int32 valid D-plane range (spatial halo wrap).
+    stats: also return the output's [B, 2, Cout] f32 (sum, sumsq)."""
+    out, _ = _fwd_pre(x, s, t, k, b, dlim, stats)
+    return out
 
 
-def _fwd_pre(x, s, t, k, b, dlim):
-    return (_run_conv(x, k, b, False, pre=(s, t), dlim=dlim),
-            (x, s, t, k, b, dlim))
+def _fwd_pre(x, s, t, k, b, dlim, stats):
+    out = _run_conv(x, k, b, False, pre=(s, t), dlim=dlim, stats=stats)
+    y = out[0] if stats else None
+    return out, (x, s, t, k, b, dlim, y)
 
 
-def _bwd_pre(res, gy):
-    x, s, t, k, b, dlim = res
+def _bwd_pre(stats, res, g):
+    x, s, t, k, b, dlim, y = res
+    gy = _stats_cotangent(y, g[0], g[1]) if stats else g
     k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     gxn = _run_conv(gy, k_t, jnp.zeros((k.shape[3],), jnp.float32), False)
     dx, ds, dt = _pre_mask_grads(x, s, t, gxn, dlim)
@@ -746,28 +830,32 @@ def _bwd_pre(res, gy):
 conv3_stencil_pre.defvjp(_fwd_pre, _bwd_pre)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 7))
 def conv3_stencil_folded_pre(x: jax.Array, s: jax.Array, t: jax.Array,
                              k: jax.Array, b: jax.Array,
-                             wpack: bool = False, dlim=None) -> jax.Array:
+                             wpack: bool = False, dlim=None,
+                             stats: bool = False):
     """conv3_stencil_folded (grouped-tap) with the fused norm+relu
     prologue. k: s2d-expanded fold-structured kernel; s/t: [B, Cin_folded]
     (each logical channel's affine repeated over its fold copies).
-    dlim: optional [2] int32 valid D-plane range (spatial halo wrap)."""
-    y, _ = _fwd_folded_pre(x, s, t, k, b, wpack, dlim)
-    return y
+    dlim: optional [2] int32 valid D-plane range (spatial halo wrap).
+    stats: also return the output's [B, 2, Cout] f32 (sum, sumsq)."""
+    out, _ = _fwd_folded_pre(x, s, t, k, b, wpack, dlim, stats)
+    return out
 
 
-def _fwd_folded_pre(x, s, t, k, b, wpack, dlim):
+def _fwd_folded_pre(x, s, t, k, b, wpack, dlim, stats):
     kg = pack_grouped(k)
     c = x.shape[-1] // (16 if wpack else 8)
-    return (_run_conv_grouped(x, kg, b, False, c, wpack, pre=(s, t),
-                              dlim=dlim),
-            (x, s, t, k, b, dlim))
+    out = _run_conv_grouped(x, kg, b, False, c, wpack, pre=(s, t),
+                            dlim=dlim, stats=stats)
+    y = out[0] if stats else None
+    return out, (x, s, t, k, b, dlim, y)
 
 
-def _bwd_folded_pre(wpack, res, gy):
-    x, s, t, k, b, dlim = res
+def _bwd_folded_pre(wpack, stats, res, g):
+    x, s, t, k, b, dlim, y = res
+    gy = _stats_cotangent(y, g[0], g[1]) if stats else g
     k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     cout_orig = gy.shape[-1] // (16 if wpack else 8)
     gxn = _run_conv_grouped(gy, pack_grouped(k_t),

@@ -23,7 +23,7 @@ Custom VJP (no residual beyond the inputs):
     dx = same kernel, spatially-flipped kernel with I/O channels swapped
     dk = per-plane A3^T @ g tap-GEMMs accumulated across the sequential
          grid into a [3, 3, 3C, Cout] f32 scratch (one kernel)
-    db = sum(g) over all but the channel axis (XLA reduce)
+    db = sum(g) over all but the channel axis (emitted by the dk kernel)
 
 Parity: tests/test_stencil3.py (interpret mode on CPU, plus the s2d
 algebraic equivalence). Reference behavior target: the stride-1 SAME conv
@@ -434,43 +434,65 @@ def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
       b.reshape(1, -1).astype(jnp.float32))
 
 
-def _dk_kernel_grouped(xm_ref, x0_ref, xp_ref, *rest,
+def _db_spec(cout: int):
+    return pl.BlockSpec((1, cout), lambda bi, i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _pick_bd_dk(d: int, h: int, w: int, cin: int, cout: int, dlim) -> int:
+    """D-block size for the dk kernels: (bd+2) input + bd cotangent planes
+    double-buffered, plus the dk accumulator — each input plane then DMAs
+    1 + 2/bd times instead of the 3 of the unblocked layout. Forced to 1
+    under a nontrivial dlim (spatial halo slab length need not divide)."""
+    if dlim is not None:
+        return 1
+    budget = 20 * 1024 * 1024
+    for bd in (8, 4, 2):
+        if d % bd:
+            continue
+        if 2 * 2 * h * w * ((bd + 2) * cin + bd * cout) <= budget:
+            return bd
+    return 1
+
+
+def _dk_kernel_grouped(hp_ref, main_ref, hn_ref, *rest,
                        h: int, w: int, cin: int, cout: int, d: int,
-                       c: int, wpack: bool, n: int, pre: bool = False):
+                       c: int, wpack: bool, n: int, bd: int = 1,
+                       pre: bool = False):
+    """dk[group, Cin, Cout] (+ db[Cout]) accumulated across the sequential
+    (B, D/bd) grid. Inputs like the fwd kernels: 1-plane halos + bd-plane
+    main x block, bd-plane cotangent block. db = sum of the cotangent over
+    all but the channel axis — emitted here so the backward needs no
+    separate full read of gy."""
     if pre:
-        s_ref, t_ref, dlim_ref, g_ref, dk_ref, acc_ref = rest
+        s_ref, t_ref, dlim_ref, g_ref, dk_ref, db_ref, acc_ref = rest
     else:
-        g_ref, dk_ref, acc_ref = rest
+        s_ref = t_ref = dlim_ref = None
+        g_ref, dk_ref, db_ref, acc_ref = rest
     step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(step == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
 
-    dloc = pl.program_id(1)
-    g = g_ref[0, 0].reshape(h * w, cout)
+    planes = _load_planes(hp_ref, main_ref, hn_ref, pl.program_id(1),
+                          h=h, w=w, cin=cin, d=d, bd=bd, pre=pre,
+                          s_ref=s_ref, t_ref=t_ref, dlim_ref=dlim_ref)
+    dbacc = None
+    for r in range(bd):
+        g = g_ref[0, r].reshape(h * w, cout)
 
-    def plane(ref, dd):
-        p = ref[0, 0].reshape(h * w, cin)
-        if pre:  # dk contracts against the NORMALIZED input, dlim-masked
-            p = jnp.maximum(p * s_ref[0] + t_ref[0],
-                            0.0).astype(p.dtype)
-            valid = jnp.logical_and(dloc + dd >= dlim_ref[0],
-                                    dloc + dd <= dlim_ref[1])
-            p = p * jnp.where(valid, 1.0, 0.0).astype(p.dtype)
-        elif dd:
-            valid = jnp.logical_and(dloc + dd >= 0, dloc + dd <= d - 1)
-            p = p * jnp.where(valid, 1.0, 0.0).astype(p.dtype)
-        return p
+        def contract(gi, a, g=g):
+            acc_ref[gi] += jax.lax.dot_general(
+                a, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-    planes = (plane(xm_ref, -1), plane(x0_ref, 0), plane(xp_ref, 1))
-
-    def contract(gi, a):
-        acc_ref[gi] += jax.lax.dot_general(
-            a, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    _grouped_conv_body(planes, w, cin, c, wpack, contract)
+        _grouped_conv_body((planes[r], planes[r + 1], planes[r + 2]),
+                           w, cin, c, wpack, contract)
+        gs = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+        dbacc = gs if dbacc is None else dbacc + gs
+    db_ref[0:1, :] += dbacc
 
     @pl.when(step == n - 1)
     def _():
@@ -478,8 +500,10 @@ def _dk_kernel_grouped(xm_ref, x0_ref, xp_ref, *rest,
 
 
 def _run_dk_grouped(x, g, c: int, wpack: bool, pre=None, dlim=None):
+    """Returns (dk_grouped [8, Cin, Cout] f32, db [Cout] f32)."""
     bsz, d, h, w, cin = x.shape
     cout = g.shape[-1]
+    bd = _pick_bd_dk(d, h, w, cin, cout, dlim)
     pre_specs = [] if pre is None else [
         _affine_spec(cin), _affine_spec(cin),
         pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -488,34 +512,28 @@ def _run_dk_grouped(x, g, c: int, wpack: bool, pre=None, dlim=None):
     pre_args = () if pre is None else (
         pre[0].astype(x.dtype)[:, None, :],
         pre[1].astype(x.dtype)[:, None, :], dlim)
-    return pl.pallas_call(
+    dk, db = pl.pallas_call(
         functools.partial(_dk_kernel_grouped, h=h, w=w, cin=cin, cout=cout,
-                          d=d, c=c, wpack=wpack, n=bsz * d,
+                          d=d, c=c, wpack=wpack, n=bsz * (d // bd), bd=bd,
                           pre=pre is not None),
-        grid=(bsz, d),
+        grid=(bsz, d // bd),
         in_specs=[
-            _plane_spec(-1, d, h, w, cin),
-            _plane_spec(0, d, h, w, cin),
-            _plane_spec(1, d, h, w, cin),
+            _halo_spec(-1, d, h, w, cin, bd),
+            _main_spec(h, w, cin, bd),
+            _halo_spec(1, d, h, w, cin, bd),
             *pre_specs,
-            pl.BlockSpec((1, 1, h, w, cout),
-                         lambda bi, i: (bi, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _main_spec(h, w, cout, bd),
         ],
-        out_specs=pl.BlockSpec((8, cin, cout), lambda bi, i: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, cin, cout), jnp.float32),
+        out_specs=(pl.BlockSpec((8, cin, cout), lambda bi, i: (0, 0, 0),
+                                memory_space=pltpu.VMEM), _db_spec(cout)),
+        out_shape=(jax.ShapeDtypeStruct((8, cin, cout), jnp.float32),
+                   jax.ShapeDtypeStruct((1, cout), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((8, cin, cout), jnp.float32)],
         compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=_interpret(),
     )(x, x, x, *pre_args, g)
-
-
-def _plane_spec(off: int, d: int, h: int, w: int, c: int):
-    def idx(b, i):
-        return (b, jnp.clip(i + off, 0, d - 1), 0, 0, 0)
-    return pl.BlockSpec((1, 1, h, w, c), idx, memory_space=pltpu.VMEM)
+    return dk, db.reshape(cout)
 
 
 def _run_conv(x: jax.Array, k: jax.Array, b: jax.Array, relu: bool,
@@ -565,48 +583,49 @@ def _run_conv(x: jax.Array, k: jax.Array, b: jax.Array, relu: bool,
     )(x, x, x, *pre_args, kp, b.reshape(1, -1).astype(jnp.float32))
 
 
-def _dk_kernel(xm_ref, x0_ref, xp_ref, *rest,
+def _dk_kernel(hp_ref, main_ref, hn_ref, *rest,
                h: int, w: int, cin: int, cout: int, d: int, n: int,
-               pre: bool = False):
+               bd: int = 1, pre: bool = False):
     """dk[dd, dh, 3Cin, Cout] += A3(x, dd, dh)^T @ g, accumulated across the
-    sequential (B, D) grid in f32 scratch."""
+    sequential (B, D/bd) grid in f32 scratch (+ db, see
+    _dk_kernel_grouped)."""
     if pre:
-        s_ref, t_ref, dlim_ref, g_ref, dk_ref, acc_ref = rest
+        s_ref, t_ref, dlim_ref, g_ref, dk_ref, db_ref, acc_ref = rest
     else:
-        g_ref, dk_ref, acc_ref = rest
+        s_ref = t_ref = dlim_ref = None
+        g_ref, dk_ref, db_ref, acc_ref = rest
     step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(step == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
 
-    dloc = pl.program_id(1)
-    g = g_ref[0, 0].reshape(h * w, cout)
-    refs = (xm_ref, x0_ref, xp_ref)
-    for dd in (-1, 0, 1):
-        plane = refs[dd + 1][0, 0].reshape(h * w, cin)
-        if pre:  # dk contracts against the NORMALIZED input, dlim-masked
-            plane = jnp.maximum(plane * s_ref[0] + t_ref[0],
-                                0.0).astype(plane.dtype)
-            valid = jnp.logical_and(dloc + dd >= dlim_ref[0],
-                                    dloc + dd <= dlim_ref[1])
-            plane = plane * jnp.where(valid, 1.0, 0.0).astype(plane.dtype)
-        elif dd:
-            valid = jnp.logical_and(dloc + dd >= 0, dloc + dd <= d - 1)
-            plane = plane * jnp.where(valid, 1.0, 0.0).astype(plane.dtype)
-        for dh in (-1, 0, 1):
-            if cin >= 128:
-                for dw in (-1, 0, 1):
-                    acc_ref[dd + 1, dh + 1,
-                            (dw + 1) * cin:(dw + 2) * cin] += \
-                        jax.lax.dot_general(
-                            _shifted(plane, dh, dw, w), g,
-                            (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-            else:
-                acc_ref[dd + 1, dh + 1] += jax.lax.dot_general(
-                    _shifted3(plane, dh, w), g, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+    planes = _load_planes(hp_ref, main_ref, hn_ref, pl.program_id(1),
+                          h=h, w=w, cin=cin, d=d, bd=bd, pre=pre,
+                          s_ref=s_ref, t_ref=t_ref, dlim_ref=dlim_ref)
+    dbacc = None
+    for r in range(bd):
+        g = g_ref[0, r].reshape(h * w, cout)
+        for dd in (-1, 0, 1):
+            plane = planes[r + dd + 1]
+            for dh in (-1, 0, 1):
+                if cin >= 128:
+                    for dw in (-1, 0, 1):
+                        acc_ref[dd + 1, dh + 1,
+                                (dw + 1) * cin:(dw + 2) * cin] += \
+                            jax.lax.dot_general(
+                                _shifted(plane, dh, dw, w), g,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                else:
+                    acc_ref[dd + 1, dh + 1] += jax.lax.dot_general(
+                        _shifted3(plane, dh, w), g,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+        gs = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+        dbacc = gs if dbacc is None else dbacc + gs
+    db_ref[0:1, :] += dbacc
 
     @pl.when(step == n - 1)
     def _():
@@ -614,8 +633,11 @@ def _dk_kernel(xm_ref, x0_ref, xp_ref, *rest,
 
 
 def _run_dk(x: jax.Array, g: jax.Array, pre=None, dlim=None):
+    """Returns (dk [3,3,3,Cin,Cout] f32, db [Cout] f32)."""
     bsz, d, h, w, cin = x.shape
     cout = g.shape[-1]
+    # _shifted3's concat buffers (cin < 128) triple the plane working set
+    bd = _pick_bd_dk(d, h, w, cin * (3 if cin < 128 else 1), cout, dlim)
     pre_specs = [] if pre is None else [
         _affine_spec(cin), _affine_spec(cin),
         pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -624,30 +646,29 @@ def _run_dk(x: jax.Array, g: jax.Array, pre=None, dlim=None):
     pre_args = () if pre is None else (
         pre[0].astype(x.dtype)[:, None, :],
         pre[1].astype(x.dtype)[:, None, :], dlim)
-    dk = pl.pallas_call(
+    dk, db = pl.pallas_call(
         functools.partial(_dk_kernel, h=h, w=w, cin=cin, cout=cout, d=d,
-                          n=bsz * d, pre=pre is not None),
-        grid=(bsz, d),
+                          n=bsz * (d // bd), bd=bd, pre=pre is not None),
+        grid=(bsz, d // bd),
         in_specs=[
-            _plane_spec(-1, d, h, w, cin),
-            _plane_spec(0, d, h, w, cin),
-            _plane_spec(1, d, h, w, cin),
+            _halo_spec(-1, d, h, w, cin, bd),
+            _main_spec(h, w, cin, bd),
+            _halo_spec(1, d, h, w, cin, bd),
             *pre_specs,
-            pl.BlockSpec((1, 1, h, w, cout),
-                         lambda bi, i: (bi, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            _main_spec(h, w, cout, bd),
         ],
-        out_specs=pl.BlockSpec((3, 3, 3 * cin, cout),
-                               lambda bi, i: (0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, 3, 3 * cin, cout), jnp.float32),
+        out_specs=(pl.BlockSpec((3, 3, 3 * cin, cout),
+                                lambda bi, i: (0, 0, 0, 0),
+                                memory_space=pltpu.VMEM), _db_spec(cout)),
+        out_shape=(jax.ShapeDtypeStruct((3, 3, 3 * cin, cout), jnp.float32),
+                   jax.ShapeDtypeStruct((1, cout), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((3, 3, 3 * cin, cout), jnp.float32)],
         compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=_interpret(),
     )(x, x, x, *pre_args, g)
     # [3, 3, 3Cin, Cout] -> [3,3,3,Cin,Cout] (undo the dw lane-stack)
-    return dk.reshape(3, 3, 3, cin, cout)
+    return dk.reshape(3, 3, 3, cin, cout), db.reshape(cout)
 
 
 def _stats_cotangent(y, gy, gst):
@@ -686,8 +707,7 @@ def _bwd(relu, stats, res, g):
         gy = jnp.where(y > 0, gy, jnp.zeros((), gy.dtype))
     k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     dx = _run_conv(gy, k_t, jnp.zeros((k.shape[3],), jnp.float32), False)
-    dk = _run_dk(x, gy)
-    db = jnp.sum(gy, axis=(0, 1, 2, 3), dtype=jnp.float32)
+    dk, db = _run_dk(x, gy)
     return (dx.astype(x.dtype), dk.astype(k.dtype), db.astype(b.dtype))
 
 
@@ -743,9 +763,9 @@ def _bwd_folded(wpack, relu, stats, res, g):
     dx = _run_conv_grouped(gy, pack_grouped(k_t),
                            jnp.zeros((k.shape[3],), jnp.float32), False,
                            cout_orig, wpack)
-    dkg = _run_dk_grouped(x, gy, x.shape[-1] // (16 if wpack else 8), wpack)
+    dkg, db = _run_dk_grouped(x, gy, x.shape[-1] // (16 if wpack else 8),
+                              wpack)
     dk = _unpack_grouped_grad(dkg)
-    db = jnp.sum(gy, axis=(0, 1, 2, 3), dtype=jnp.float32)
     return (dx.astype(x.dtype), dk.astype(k.dtype), db.astype(b.dtype))
 
 
@@ -822,8 +842,7 @@ def _bwd_pre(stats, res, g):
     k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     gxn = _run_conv(gy, k_t, jnp.zeros((k.shape[3],), jnp.float32), False)
     dx, ds, dt = _pre_mask_grads(x, s, t, gxn, dlim)
-    dk = _run_dk(x, gy, pre=(s, t), dlim=dlim)
-    db = jnp.sum(gy, axis=(0, 1, 2, 3), dtype=jnp.float32)
+    dk, db = _run_dk(x, gy, pre=(s, t), dlim=dlim)
     return dx, ds, dt, dk.astype(k.dtype), db.astype(b.dtype), _dlim_ct(dlim)
 
 
@@ -862,10 +881,9 @@ def _bwd_folded_pre(wpack, stats, res, g):
                             jnp.zeros((k.shape[3],), jnp.float32), False,
                             cout_orig, wpack)
     dx, ds, dt = _pre_mask_grads(x, s, t, gxn, dlim)
-    dkg = _run_dk_grouped(x, gy, x.shape[-1] // (16 if wpack else 8), wpack,
-                          pre=(s, t), dlim=dlim)
+    dkg, db = _run_dk_grouped(x, gy, x.shape[-1] // (16 if wpack else 8),
+                              wpack, pre=(s, t), dlim=dlim)
     dk = _unpack_grouped_grad(dkg)
-    db = jnp.sum(gy, axis=(0, 1, 2, 3), dtype=jnp.float32)
     return dx, ds, dt, dk.astype(k.dtype), db.astype(b.dtype), _dlim_ct(dlim)
 
 

@@ -275,3 +275,31 @@ def test_norm_softmax_wpacked_exact(rng, x8):
     want_s = jax.nn.softmax(x8.astype(jnp.float32), axis=-1)
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_down_fold_bridge_exact(rng, x8):
+    """expand_down_fold_kernel(_w): the folded->folded stride-2 Down conv
+    equals stride-2-conv-then-fold on the unfolded tensors."""
+    from vae_segmentation_tpu.ops import s2d
+
+    c, o = 4, 4
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 2, 2, c, o)), jnp.float32)
+
+    ref = jax.lax.conv_general_dilated(
+        x, k, (2, 2, 2), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    ref_folded = s2d.fold(ref)
+
+    got = jax.lax.conv_general_dilated(
+        s2d.fold(x), s2d.expand_down_fold_kernel(k), (2, 2, 2), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_folded),
+                               rtol=1e-5, atol=1e-5)
+
+    got_w = jax.lax.conv_general_dilated(
+        s2d.fold_w(s2d.fold(x)), s2d.expand_down_fold_kernel_w(k),
+        (2, 2, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_folded),
+                               rtol=1e-5, atol=1e-5)

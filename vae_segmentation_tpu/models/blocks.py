@@ -430,7 +430,7 @@ class Conv3(nn.Module):
 
         pack = s2d.WPACK if self.wpack else 1
         in_ch = x.shape[-1]
-        if self.mode in ("folded", "fold_consume"):
+        if self.mode in ("folded", "fold_consume", "fold_bridge"):
             in_ch = in_ch // (s2d.NB * pack)  # params keep the UNfolded shape
         kshape = (*self.kernel, in_ch, self.features)
         fan_in = math.prod(self.kernel) * in_ch
@@ -533,6 +533,16 @@ class Conv3(nn.Module):
                 pre_xla(xd), ke.astype(self.dtype), (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
             return ret(y + bias_f.astype(self.dtype))
+        elif self.mode == "fold_bridge":
+            # folded fine in -> folded coarse out, ONE stride-2 conv
+            # (s2d.expand_down_fold_kernel): no unfold/fold reorg
+            kd = s2d.expand_down_fold_kernel_w(k) if self.wpack \
+                else s2d.expand_down_fold_kernel(k)
+            y = jax.lax.conv_general_dilated(
+                xd, kd.astype(self.dtype),
+                (2, 2, 1) if self.wpack else (2, 2, 2), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            return ret(y + jnp.tile(b, s2d.NB).astype(self.dtype))
         elif self.mode == "fold_consume":
             kd = s2d.expand_down_kernel_w(k) if self.wpack \
                 else s2d.expand_down_kernel(k)
@@ -721,14 +731,21 @@ class Down(nn.Module):
 
         pack = s2d.NB * (s2d.WPACK if self.wpack_in else 1)
         in_ch = x.shape[-1] // (pack if self.folded_in else 1)
-        x = Conv3(in_ch, kernel=(2, 2, 2), strides=(2, 2, 2),
-                  padding="VALID", dtype=self.dtype,
-                  mode="fold_consume" if self.folded_in else "normal",
-                  wpack=self.wpack_in)(x)
-        if self.wpack_in:
-            x = s2d.unfold_w(x)  # W-PAIRED coarse -> plain coarse
-        if self.folded_out:
-            x = s2d.fold(x)
+        if self.folded_in and self.folded_out:
+            # folded -> folded: one stride-2 conv in folded space, no
+            # unfold/fold transposes at the boundary (s2d fold_bridge)
+            x = Conv3(in_ch, kernel=(2, 2, 2), strides=(2, 2, 2),
+                      padding="VALID", dtype=self.dtype,
+                      mode="fold_bridge", wpack=self.wpack_in)(x)
+        else:
+            x = Conv3(in_ch, kernel=(2, 2, 2), strides=(2, 2, 2),
+                      padding="VALID", dtype=self.dtype,
+                      mode="fold_consume" if self.folded_in else "normal",
+                      wpack=self.wpack_in)(x)
+            if self.wpack_in:
+                x = s2d.unfold_w(x)  # W-PAIRED coarse -> plain coarse
+            if self.folded_out:
+                x = s2d.fold(x)
         return DoubleConv(self.features, self.norm_type, self.soft,
                           dtype=self.dtype, folded=self.folded_out)(x)
 

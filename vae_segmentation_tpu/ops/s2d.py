@@ -173,6 +173,43 @@ def expand_down_kernel(k: jax.Array) -> jax.Array:
     return out.reshape(1, 1, 1, NB * c, o)
 
 
+def expand_down_fold_kernel(k: jax.Array) -> jax.Array:
+    """Stride-2 2^3 conv kernel [2,2,2,C,O] -> [2,2,2, 8C, 8O]: consume the
+    FOLDED fine rep and emit the FOLDED coarse rep in ONE stride-2 conv —
+    no unfold/fold reorg at the Down boundary.
+
+    Derivation: folded-coarse position r, block δ packs coarse voxel 2r+δ;
+    coarse voxel q reads folded-fine position q (all 8 ε blocks, the 1^3
+    expand_down_kernel); so output block δ reads folded-fine 2r+δ = conv
+    tap τ=δ. Block-"diagonal": tap τ writes only output block δ==τ."""
+    c, o = k.shape[3], k.shape[4]
+    kflat = k.reshape(NB * c, o)  # eps-major, as expand_down_kernel
+    out = jnp.zeros((2, 2, 2, NB * c, NB * o), k.dtype)
+    for td in range(2):
+        for th in range(2):
+            for tw in range(2):
+                fo = ((td * F + th) * F + tw) * o
+                out = out.at[td, th, tw, :, fo:fo + o].set(kflat)
+    return out
+
+
+def expand_down_fold_kernel_w(k: jax.Array) -> jax.Array:
+    """expand_down_fold_kernel for a W-PACKED folded fine input
+    [D, H, W/2, 2*8C]: stride (2,2,1), kernel (2,2,1) — the W tap pair
+    lives in the eps_w2 lane blocks instead of a strided W read."""
+    c, o = k.shape[3], k.shape[4]
+    kflat = k.reshape(NB * c, o)
+    out = jnp.zeros((2, 2, 1, WPACK * NB * c, NB * o), k.dtype)
+    for td in range(2):
+        for th in range(2):
+            for dw in range(2):
+                fo = ((td * F + th) * F + dw) * o
+                out = out.at[td, th, 0,
+                             dw * NB * c:(dw + 1) * NB * c,
+                             fo:fo + o].set(kflat)
+    return out
+
+
 def expand_up_kernel(k: jax.Array) -> jax.Array:
     """Stride-2 2^3 flax-ConvTranspose kernel [2,2,2,C,O] -> 1^3 kernel
     [1,1,1, C, 8O] emitting the folded high-res rep. flax's ConvTranspose

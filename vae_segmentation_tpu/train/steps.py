@@ -47,7 +47,10 @@ def _folded_onehot(label: jax.Array, n_class: int,
     volume (33 MB, not the 1 GB one-hot) then one-hot into a 6D view
     [B, D/2, H/2, W/2, P, C] (P = 8, or 16 in the W-PACKED production rep —
     must match the model's folded output layout element-for-element)."""
-    lab_f = s2d.fold(label[..., None])  # [B, D/2, H/2, W/2, 8]
+    # bf16 before the fold: class ids are small ints (exact in bf16) and
+    # the fold is a layout transpose — half the bytes of the f32 fold
+    lab_f = s2d.fold(label.astype(jnp.bfloat16)[..., None])
+    # [B, D/2, H/2, W/2, 8]
     if wpack:
         lab_f = s2d.fold_w(lab_f)       # [B, D/2, H/2, W/4, 16]
     # float equality compare, not one_hot: the int32 cast materializes s32

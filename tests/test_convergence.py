@@ -1,0 +1,182 @@
+"""Synthetic convergence comparison: the reference seg trainer (torch CPU,
+/root/reference/main_source.py seg_train: loss = 1 - avg_dsc(pred, onehot,
+botindex=1), SGD momentum 0.9) vs our jitted seg step — same initial
+weights, same batch sequence, same optimizer — trained to convergence on a
+learnable synthetic blob task, comparing validation-dice trajectories.
+
+This extends the step-level parity chain (tests/test_train_parity.py:
+loss + gradient + SGD update + 4-step trajectory) with the end-to-end
+question the north-star Dice target actually asks: do the two frameworks
+ARRIVE at the same segmentation quality when trained on the same data?
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import REFERENCE_DIR, requires_reference
+
+torch = pytest.importorskip("torch")
+
+SIDE = 32
+BATCH = 2
+N_STEPS = 64
+EVAL_EVERY = 8
+LR = 3e-2
+
+
+def _load_ref_joint_model():
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        import joint_model
+        torch.cuda.FloatTensor = torch.FloatTensor
+        torch.cuda.LongTensor = torch.LongTensor
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        return joint_model
+    finally:
+        sys.path.remove(REFERENCE_DIR)
+
+
+def _blob_case(rng):
+    """A learnable synthetic case: ellipsoid mask, image = mask + noise."""
+    center = rng.uniform(10, SIDE - 10, size=3)
+    radii = rng.uniform(4, 9, size=3)
+    g = np.stack(np.meshgrid(*[np.arange(SIDE)] * 3, indexing="ij"))
+    mask = (np.sum(((g - center[:, None, None, None]) /
+                    radii[:, None, None, None]) ** 2, axis=0) <= 1.0)
+    img = 2.0 * mask + rng.normal(size=mask.shape) * 0.5
+    return img.astype(np.float32), mask.astype(np.float32)
+
+
+def _make_batches(rng, n):
+    out = []
+    for _ in range(n):
+        cases = [_blob_case(rng) for _ in range(BATCH)]
+        out.append((np.stack([c[0] for c in cases]),
+                    np.stack([c[1] for c in cases])))
+    return out
+
+
+def _binary_dice(pred_fg, gt_fg):
+    inter = float(np.sum(pred_fg * gt_fg))
+    return 2.0 * inter / (float(np.sum(pred_fg) + np.sum(gt_fg)) + 1e-6)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    return {"train": _make_batches(rng, 4),
+            "val": _make_batches(np.random.default_rng(99), 2)}
+
+
+@pytest.fixture(scope="module")
+def torch_traj(data):
+    jm = _load_ref_joint_model()
+    torch.manual_seed(0)
+    seg = jm.Segmentation(n_channels=1, n_class=2, norm_type=1)
+    sd0 = {k: v.numpy().copy() for k, v in seg.state_dict().items()}
+    opt = torch.optim.SGD(seg.parameters(), lr=LR, momentum=0.9,
+                          weight_decay=0.0)
+
+    def val_dice():
+        seg.eval()
+        ds = []
+        for img, lab in data["val"]:
+            with torch.no_grad():
+                b = seg({"v": torch.from_numpy(img[:, None])}, "v", "p")
+            pred_fg = (torch.argmax(b["p"], dim=1) == 1).numpy() \
+                .astype(np.float32)
+            ds += [_binary_dice(pred_fg[i], lab[i])
+                   for i in range(lab.shape[0])]
+        seg.train()
+        return float(np.mean(ds))
+
+    traj = []
+    for i in range(N_STEPS):
+        img, lab = data["train"][i % len(data["train"])]
+        onehot = torch.zeros(BATCH, 2, SIDE, SIDE, SIDE).scatter_(
+            1, torch.from_numpy(lab[:, None]).long(), 1)
+        b = seg({"v": torch.from_numpy(img[:, None])}, "v", "p")
+        # main_source.py:436 dice loss (its local avg_dsc copy, eps 1e-4)
+        sm, tm = b["p"], onehot
+        per = (2 * torch.sum(sm * tm, (2, 3, 4))
+               / (torch.sum(sm, (2, 3, 4)) + torch.sum(tm, (2, 3, 4))
+                  + 0.0001))
+        loss = 1 - torch.mean(per[:, 1:2])
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if (i + 1) % EVAL_EVERY == 0:
+            traj.append(val_dice())
+    return {"sd0": sd0, "traj": traj}
+
+
+@pytest.fixture(scope="module")
+def jax_traj(data, torch_traj):
+    from vae_segmentation_tpu.models import SegUNet
+    from vae_segmentation_tpu.models.torch_compat import convert_state_dict
+    from vae_segmentation_tpu.ops import losses as L
+    from vae_segmentation_tpu.train import (init_state,
+                                            make_seg_train_step, optim)
+
+    model = SegUNet(n_class=2, dtype=jnp.float32, remat=False)
+    template = model.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, SIDE, SIDE, SIDE, 1)))["params"]
+    params = jax.tree.map(
+        jnp.asarray, convert_state_dict(torch_traj["sd0"], template, "seg"))
+    tx = optim.sgd(LR)
+    step = make_seg_train_step(model, tx, 2)
+    state = init_state(params, tx)
+
+    apply = jax.jit(lambda p, x: model.apply({"params": p}, x))
+
+    def val_dice(p):
+        ds = []
+        for img, lab in data["val"]:
+            pred = np.asarray(apply(p, jnp.asarray(img)[..., None]))
+            pred_fg = (np.argmax(pred, axis=-1) == 1).astype(np.float32)
+            ds += [_binary_dice(pred_fg[i], lab[i])
+                   for i in range(lab.shape[0])]
+        return float(np.mean(ds))
+
+    traj = []
+    for i in range(N_STEPS):
+        img, lab = data["train"][i % len(data["train"])]
+        state, _ = step(state, jnp.asarray(img), jnp.asarray(lab))
+        if (i + 1) % EVAL_EVERY == 0:
+            traj.append(val_dice(state.params))
+    return {"traj": traj}
+
+
+@requires_reference
+def test_both_frameworks_learn(torch_traj, jax_traj):
+    """The synthetic task is actually learned — final val dice is high in
+    BOTH frameworks (guards the comparison below against trivially
+    matching garbage)."""
+    assert torch_traj["traj"][-1] > 0.75, torch_traj["traj"]
+    assert jax_traj["traj"][-1] > 0.75, jax_traj["traj"]
+
+
+@requires_reference
+def test_convergence_trajectories_match(torch_traj, jax_traj):
+    """Validation-dice trajectories agree within SGD fp-drift noise at
+    every checkpoint, and the CONVERGED quality (mean of the last two
+    plateau checkpoints) agrees tightly.
+
+    Tolerances: step-level equality is pinned bitwise-close by
+    tests/test_train_parity.py; over tens of momentum-SGD steps the two
+    runs drift chaotically (fp roundoff amplifies), so mid-trajectory
+    points are compared loosely (0.08) and the converged plateau tightly
+    (0.015 on an 8-case val dice)."""
+    for i, (t, j) in enumerate(zip(torch_traj["traj"], jax_traj["traj"])):
+        assert abs(t - j) < 0.08, (i, torch_traj["traj"], jax_traj["traj"])
+    plat_t = np.mean(torch_traj["traj"][-2:])
+    plat_j = np.mean(jax_traj["traj"][-2:])
+    assert abs(plat_t - plat_j) < 0.015, (
+        torch_traj["traj"], jax_traj["traj"])

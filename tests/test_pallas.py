@@ -118,3 +118,56 @@ def test_reparam_kl_deterministic_per_seed(rng):
     l3, _ = reparam_kl(mean, std, jnp.float32(1.0), 4)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     assert not np.allclose(np.asarray(l1), np.asarray(l3))
+
+
+# ---------------------------------------------------------------------------
+# fused multi-target dice sums (ops/pallas/dicesums.py)
+# ---------------------------------------------------------------------------
+
+def _dice_oracle(pred, targets, n_class, eps):
+    out = []
+    for t in targets:
+        out.append(L.soft_dice_per_class(
+            pred.reshape(*pred.shape[:4], -1, n_class),
+            t.reshape(*t.shape[:4], -1, n_class), eps))
+    return out
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_multi_soft_dice_forward(rng, k):
+    from vae_segmentation_tpu.ops.pallas.dicesums import multi_soft_dice
+
+    n = 2
+    pred = jnp.asarray(rng.random((2, 8, 8, 8, 16 * n)), jnp.bfloat16)
+    targets = [jnp.asarray(rng.random((2, 8, 8, 8, 16 * n)) > 0.5,
+                           jnp.bfloat16) for _ in range(k)]
+    got = multi_soft_dice(pred, targets, n, eps=L.EVAL_EPS)
+    want = _dice_oracle(pred, targets, n, L.EVAL_EPS)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_multi_soft_dice_grad(rng):
+    from vae_segmentation_tpu.ops.pallas.dicesums import multi_soft_dice
+
+    n = 2
+    pred = jnp.asarray(rng.random((1, 4, 8, 8, 8 * n)), jnp.float32)
+    rec = jnp.asarray(rng.random((1, 4, 8, 8, 8 * n)), jnp.float32)
+    oh = jnp.asarray(rng.random((1, 4, 8, 8, 8 * n)) > 0.5, jnp.float32)
+
+    def fused(p, r):
+        d_pr, d_po = multi_soft_dice(p, (r, oh), n, eps=L.EVAL_EPS)
+        return (1.0 - jnp.mean(d_pr[:, 1:])) + (1.0 - jnp.mean(d_po[:, 1:]))
+
+    def plain(p, r):
+        d_pr, d_po = _dice_oracle(p, (r, oh), n, L.EVAL_EPS)
+        return (1.0 - jnp.mean(d_pr[:, 1:])) + (1.0 - jnp.mean(d_po[:, 1:]))
+
+    (v_f, (gp_f, gr_f)) = jax.value_and_grad(fused, argnums=(0, 1))(pred, rec)
+    (v_p, (gp_p, gr_p)) = jax.value_and_grad(plain, argnums=(0, 1))(pred, rec)
+    assert abs(float(v_f) - float(v_p)) < 1e-5
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_p),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gr_f), np.asarray(gr_p),
+                               rtol=1e-4, atol=1e-6)

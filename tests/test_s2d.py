@@ -303,3 +303,33 @@ def test_down_fold_bridge_exact(rng, x8):
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_folded),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_up_fold_bridge_exact(rng):
+    """expand_up_fold_kernel(_w): the folded->folded stride-2 ConvTranspose
+    equals unfold -> stride-2 ConvTranspose -> fold on the plain tensors."""
+    from vae_segmentation_tpu.ops import s2d
+
+    c, o = 4, 4
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, c)), jnp.float32)  # coarse
+    k = jnp.asarray(rng.normal(size=(2, 2, 2, c, o)), jnp.float32)
+
+    ref = jax.lax.conv_transpose(
+        x, k, strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    ref_folded = s2d.fold(ref)
+
+    got = jax.lax.conv_transpose(
+        s2d.fold(x), s2d.expand_up_fold_kernel(k),
+        strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_folded),
+                               rtol=1e-5, atol=1e-5)
+
+    got_w = jax.lax.conv_transpose(
+        s2d.fold(x), s2d.expand_up_fold_kernel_w(k),
+        strides=(2, 2, 1), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    np.testing.assert_allclose(np.asarray(got_w),
+                               np.asarray(s2d.fold_w(ref_folded)),
+                               rtol=1e-5, atol=1e-5)

@@ -589,17 +589,33 @@ class TConv2(nn.Module):
     dtype: Dtype = jnp.bfloat16
     fold_emit: bool = False
     wpack: bool = False  # fold_emit target rep is W-PACKED (s2d.fold_w)
+    fold_consume: bool = False  # input is the FOLDED coarse rep (bridge)
 
     @nn.compact
     def __call__(self, x):
         from vae_segmentation_tpu.ops import s2d
 
         in_ch = x.shape[-1]
+        if self.fold_consume:
+            in_ch //= s2d.NB  # params keep the UNfolded shape
         k = self.param("kernel", torch_uniform_init("transpose"),
                        (2, 2, 2, in_ch, self.features), jnp.float32)
         b = self.param("bias", torch_bias_init(8 * in_ch),
                        (self.features,), jnp.float32)
         xd = x.astype(self.dtype)
+        if self.fold_consume:
+            # folded coarse in -> folded fine out, ONE stride-2 transpose
+            # conv (s2d.expand_up_fold_kernel): no unfold at the Up boundary
+            assert self.fold_emit
+            ku = s2d.expand_up_fold_kernel_w(k) if self.wpack \
+                else s2d.expand_up_fold_kernel(k)
+            y = jax.lax.conv_transpose(
+                xd, ku.astype(self.dtype),
+                strides=(2, 2, 1) if self.wpack else (2, 2, 2),
+                padding="VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            pack = s2d.NB * (s2d.WPACK if self.wpack else 1)
+            return y + jnp.tile(b.astype(self.dtype), pack)
         if self.fold_emit and self.wpack:
             y = jax.lax.conv_general_dilated(
                 xd, s2d.expand_up_kernel_w(k).astype(self.dtype),
@@ -771,11 +787,14 @@ class Up(nn.Module):
     def __call__(self, x):
         from vae_segmentation_tpu.ops import s2d
 
-        if self.folded_in:
+        # folded -> folded: one stride-2 transpose conv in folded space
+        # (s2d expand_up_fold_kernel), no unfold at the boundary
+        bridge = self.folded_in and self.folded_out
+        if self.folded_in and not bridge:
             x = s2d.unfold(x)
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // (s2d.NB if bridge else 1)
         x = TConv2(in_ch, dtype=self.dtype, fold_emit=self.folded_out,
-                   wpack=self.wpack_out)(x)
+                   wpack=self.wpack_out, fold_consume=bridge)(x)
         return DoubleConv(self.features, self.norm_type, self.soft,
                           dtype=self.dtype, folded=self.folded_out,
                           wpack=self.wpack_out)(x)

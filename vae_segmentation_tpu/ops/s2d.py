@@ -221,6 +221,46 @@ def expand_up_kernel(k: jax.Array) -> jax.Array:
     return out.reshape(1, 1, 1, c, NB * o)
 
 
+def expand_up_fold_kernel(k: jax.Array) -> jax.Array:
+    """Stride-2 2^3 flax-ConvTranspose kernel [2,2,2,C,O] -> stride-2 2^3
+    ConvTranspose kernel [2,2,2, 8C, 8O] consuming the FOLDED coarse rep
+    and emitting the FOLDED fine rep — no unfold at the Up boundary.
+
+    Derivation: folded-fine position r = 2p+eps block delta reads
+    k1[delta] @ coarse[r] (expand_up_kernel); coarse[r] lives in
+    folded-coarse[p] block eps. As a stride-2 transpose conv over the
+    folded grids, output 2p+eps takes kernel tap 1-eps per axis (the flax
+    ConvTranspose flip, expand_up_kernel note), whose only nonzero input
+    block is eps."""
+    c, o = k.shape[3], k.shape[4]
+    k1 = expand_up_kernel(k).reshape(c, NB * o)  # [C, (delta, O)]
+    out = jnp.zeros((2, 2, 2, NB * c, NB * o), k.dtype)
+    for ed in range(2):
+        for eh in range(2):
+            for ew in range(2):
+                e = (ed * F + eh) * F + ew
+                out = out.at[1 - ed, 1 - eh, 1 - ew,
+                             e * c:(e + 1) * c, :].set(k1)
+    return out
+
+
+def expand_up_fold_kernel_w(k: jax.Array) -> jax.Array:
+    """expand_up_fold_kernel emitting the W-PACKED folded fine rep:
+    [2,2,1, 8C, 16O], strides (2,2,1). Along W the packed fine grid index
+    equals the folded-coarse index ((2*pw + ew) // 2 == pw) and ew becomes
+    the eps_w2 lane block — so W needs no stride, only a lane routing."""
+    c, o = k.shape[3], k.shape[4]
+    k1 = expand_up_kernel(k).reshape(c, NB * o)
+    out = jnp.zeros((2, 2, 1, NB * c, WPACK * NB * o), k.dtype)
+    for ed in range(2):
+        for eh in range(2):
+            for ew in range(2):
+                e = (ed * F + eh) * F + ew
+                out = out.at[1 - ed, 1 - eh, 0, e * c:(e + 1) * c,
+                             ew * NB * o:(ew + 1) * NB * o].set(k1)
+    return out
+
+
 def conv3_folded(xf: jax.Array, k: jax.Array, dtype=None) -> jax.Array:
     """Folded-space equivalent of a 3^3 stride-1 SAME conv with original
     kernel k [3,3,3,Cin,Cout]. xf: [B, D/2, H/2, W/2, 8*Cin]."""

@@ -113,6 +113,18 @@ def use_fused_reparam() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def use_fused_dice() -> bool:
+    """Route the adaptation step's three same-pred soft Dices through the
+    fused multi-target sums kernel (ops/pallas/dicesums.py: every volume
+    read once, no f32 full-res temporaries — ~4 ms/step of the round-3
+    trace's fusion pool). ON by default on TPU; VAESEG_FUSED_DICE=0/1
+    overrides."""
+    env = os.environ.get("VAESEG_FUSED_DICE")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def make_vae_train_step(model, tx, n_class: int, *, scale: float = 0.35,
                         kl_weight: float = 2e-5, eps: float = L.SOURCE_EPS,
                         return_display: bool = False):
@@ -358,9 +370,21 @@ def _student_mc_losses(model: Joint, params, img, onehot, pseudo, klv,
             rngs={"reparam": k_rep, "dropout": k_drop})
         pred_v = _classes_view(pred, n, cfg.folded)
         recon_v = _classes_view(recon, n, cfg.folded)
-        recon_loss = 1.0 - L.avg_dsc(pred_v, recon_v, botindex=1, topindex=n)
-        fake_loss = 1.0 - L.avg_dsc(pred_v, pseudo_v, botindex=1, topindex=n)
-        dsc_loss = 1.0 - L.avg_dsc(pred_v, onehot_v, botindex=1, topindex=n)
+        if use_fused_dice():
+            from vae_segmentation_tpu.ops.pallas.dicesums import \
+                multi_soft_dice
+            d_pr, d_ps, d_po = multi_soft_dice(
+                pred_v, (recon_v, pseudo_v, onehot_v), n, eps=L.EVAL_EPS)
+            recon_loss = 1.0 - jnp.mean(d_pr[:, 1:n])
+            fake_loss = 1.0 - jnp.mean(d_ps[:, 1:n])
+            dsc_loss = 1.0 - jnp.mean(d_po[:, 1:n])
+        else:
+            recon_loss = 1.0 - L.avg_dsc(pred_v, recon_v, botindex=1,
+                                         topindex=n)
+            fake_loss = 1.0 - L.avg_dsc(pred_v, pseudo_v, botindex=1,
+                                        topindex=n)
+            dsc_loss = 1.0 - L.avg_dsc(pred_v, onehot_v, botindex=1,
+                                       topindex=n)
         pred_sq = jnp.mean(jnp.square(pred)) if cfg.domain_loss_type == 10 \
             else jnp.float32(0.0)
         final = adapt_loss(recon_loss, fake_loss, klv, pred_sq, cfg, sched,

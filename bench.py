@@ -90,6 +90,13 @@ def main():
     step, state, teacher, image, label, sched = build()
     key = jax.random.PRNGKey(1)
 
+    # VAESEG_BENCH_TRACE=<dir>: also capture a jax.profiler device trace of
+    # 3 steps after the timed region, in THIS process — the persistent
+    # compile cache does not hit across processes through the axon tunnel
+    # (each claim re-compiles ~15 min), so separate trace probes are
+    # prohibitively slow.
+    trace_dir = os.environ.get("VAESEG_BENCH_TRACE")
+
     # NOTE: through the axon tunnel block_until_ready does not reliably
     # block; a host transfer of a metric scalar is the sync point.
     for i in range(WARMUP):
@@ -112,6 +119,14 @@ def main():
     float(all_metrics[-1])
     dt = time.perf_counter() - t0
     assert all(np.isfinite(float(m)) for m in all_metrics)
+
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            for i in range(3):
+                state, metrics = step(state, teacher, image, label,
+                                      jax.random.fold_in(key, 99 + i),
+                                      sched)
+                float(metrics["dice_loss"])
 
     value = ITERS / dt
     print(json.dumps({

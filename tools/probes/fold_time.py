@@ -34,13 +34,15 @@ def fold_conv(v):
 
 
 def bench(f, name):
+    # NOTE: through the axon tunnel block_until_ready does not reliably
+    # block; a host transfer of a slice is the sync point (bench.py note).
     g = jax.jit(f)
-    r = g(x); r.block_until_ready()
+    r = g(x); np.asarray(r[0, 0, 0])
     n = 30
     t0 = time.perf_counter()
     for _ in range(n):
         r = g(x)
-    r.block_until_ready()
+    np.asarray(r[0, 0, 0])
     dt = (time.perf_counter() - t0) / n * 1e3
     print(f"{name:12s} {dt:7.3f} ms  out={r.shape}", flush=True)
     return r
@@ -50,3 +52,13 @@ want = bench(wfold, "reorg")
 got = bench(fold_conv, "fold_conv")
 np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 print("fold_conv exact")
+
+
+def pallas_fold(v):
+    from vae_segmentation_tpu.ops.pallas.fold import fold1
+    return fold1(v, True)
+
+
+got_p = bench(pallas_fold, "pallas_gemm")
+np.testing.assert_array_equal(np.asarray(want), np.asarray(got_p))
+print("pallas_gemm exact")

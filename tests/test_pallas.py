@@ -186,3 +186,56 @@ def test_fold1_exact(rng):
     np.testing.assert_array_equal(
         np.asarray(fold1(x, True)),
         np.asarray(s2d.fold_w(s2d.fold(x.astype(jnp.bfloat16)[..., None]))))
+
+
+def test_up_bridge_w_exact(rng):
+    """ops/pallas/upbridge.py vs the XLA folded-space ConvTranspose bridge
+    (s2d.expand_up_fold_kernel_w): forward and gradients."""
+    from vae_segmentation_tpu.ops import s2d
+    from vae_segmentation_tpu.ops.pallas.upbridge import up_bridge_w
+
+    c, o = 4, 4
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, 8, 8 * c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 2, 2, c, o)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(o,)), jnp.float32)
+
+    def xla(xv, kv, bv):
+        y = jax.lax.conv_transpose(
+            xv, s2d.expand_up_fold_kernel_w(kv), strides=(2, 2, 1),
+            padding="VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y + jnp.tile(bv, s2d.NB * s2d.WPACK)
+
+    def pallas(xv, kv, bv):
+        k1 = s2d.expand_up_kernel(kv).reshape(c, 8 * o)
+        return up_bridge_w(xv, k1, jnp.tile(bv, s2d.NB * s2d.WPACK))
+
+    want = xla(x, k, b)
+    got = pallas(x, k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(f):
+        return lambda *a: jnp.sum(jnp.sin(f(*a)))
+
+    gw = jax.grad(loss(xla), argnums=(0, 1, 2))(x, k, b)
+    gg = jax.grad(loss(pallas), argnums=(0, 1, 2))(x, k, b)
+    for a, bb, name in zip(gg, gw, "xkb"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_up_block_routes_through_bridge_identically(rng, monkeypatch):
+    """Up(folded_in, folded_out, wpack_out) with the Pallas bridge forced
+    on (interpret mode) equals the XLA folded ConvTranspose route."""
+    from vae_segmentation_tpu.models.blocks import Up
+
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 32)), jnp.float32)
+    mod = Up(4, dtype=jnp.float32, folded_in=True, folded_out=True,
+             wpack_out=True)
+    monkeypatch.setenv("VAESEG_STENCIL", "0")
+    params = mod.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    want = mod.apply({"params": params}, x)
+    monkeypatch.setenv("VAESEG_STENCIL", "1")
+    got = mod.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -217,6 +217,23 @@ def test_pre_fused_folded_parity(rng):
                 err_msg=f"wpack={wpack} {name}")
 
 
+def _assert_grads_match(g1, g0):
+    for (p1, l1), (_, l0) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g0)[0]):
+        key = jax.tree_util.keystr(p1)
+        if "bias" in key and ("DoubleConv" in key or "in_block" in key):
+            # norm-cancelled bias (conv output feeds InstanceNorm
+            # directly): a constant channel offset is a no-op through the
+            # norm, so this gradient is analytically zero - both paths
+            # emit fp roundoff noise; only bound it (same treatment as
+            # tests/test_train_parity.py)
+            assert float(np.max(np.abs(np.asarray(l1)))) < 1e-3, key
+            continue
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(p1))
+
+
 def test_model_fused_prologue_parity(rng, monkeypatch):
     """Folded SegUNet forward + gradient with the fused norm+relu prologue
     (VAESEG_FUSE=1, the default) equals the unfused stencil path
@@ -239,11 +256,7 @@ def test_model_fused_prologue_parity(rng, monkeypatch):
     o1, g1 = run("1")
     o0, g0 = run("0")
     np.testing.assert_allclose(o1, o0, rtol=1e-5, atol=1e-6)
-    for (p1, l1), (_, l0) in zip(
-            jax.tree_util.tree_flatten_with_path(g1)[0],
-            jax.tree_util.tree_flatten_with_path(g0)[0]):
-        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
-                                   rtol=1e-4, atol=1e-5, err_msg=str(p1))
+    _assert_grads_match(g1, g0)
 
 
 def test_stats_epilogue_forward_and_grad(rng):
@@ -329,8 +342,4 @@ def test_model_stats_affine_parity(rng, monkeypatch):
     o1, g1 = run("1")
     o0, g0 = run("0")
     np.testing.assert_allclose(o1, o0, rtol=1e-5, atol=1e-6)
-    for (p1, l1), (_, l0) in zip(
-            jax.tree_util.tree_flatten_with_path(g1)[0],
-            jax.tree_util.tree_flatten_with_path(g0)[0]):
-        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
-                                   rtol=1e-4, atol=1e-5, err_msg=str(p1))
+    _assert_grads_match(g1, g0)

@@ -128,6 +128,31 @@ def stencil_shard_wrap(fn, stats: bool = False):
     return dispatch
 
 
+def bridge_shard_wrap(fn):
+    """stencil_shard_wrap for the folded Up bridge (ops/pallas/upbridge.py):
+    a stride-2 upsampling is plane-local in D (output planes 2p, 2p+1
+    depend only on input plane p), so batch AND spatial axes split with no
+    halo exchange. Same ragged-shape fallback as stencil_shard_wrap."""
+    if _STENCIL_MESH is None:
+        return fn
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _STENCIL_MESH
+    n_data = mesh.shape["data"]
+    n_sp = mesh.shape.get("spatial", 1)
+    sharded = shard_map(fn, mesh=mesh,
+                        in_specs=(P("data", "spatial"), P(), P()),
+                        out_specs=P("data", "spatial"), check_vma=False)
+
+    def dispatch(x, k, b):
+        if x.shape[0] % n_data != 0 or x.shape[1] % n_sp != 0:
+            return fn(x, k, b)
+        return sharded(x, k, b)
+
+    return dispatch
+
+
 def stencil_shard_wrap_pre(fn, stats: bool = False):
     """stencil_shard_wrap for the fused-prologue ops (x, scale, shift, k,
     b): scale/shift are per-(batch, channel) [B, C] — sharded over 'data',
@@ -607,6 +632,19 @@ class TConv2(nn.Module):
             # folded coarse in -> folded fine out, ONE stride-2 transpose
             # conv (s2d.expand_up_fold_kernel): no unfold at the Up boundary
             assert self.fold_emit
+            if self.wpack and use_stencil():
+                # Pallas bridge: XLA's transpose-conv lowering emits a
+                # channel-minor layout and pays full-volume copy fixups to
+                # feed the standard-layout stencil consumers
+                # (ops/pallas/upbridge.py)
+                from vae_segmentation_tpu.ops.pallas.upbridge import \
+                    up_bridge_w
+
+                k1 = s2d.expand_up_kernel(k).reshape(in_ch,
+                                                     s2d.NB * self.features)
+                return bridge_shard_wrap(up_bridge_w)(
+                    xd, k1.astype(self.dtype),
+                    jnp.tile(b, s2d.NB * s2d.WPACK))
             ku = s2d.expand_up_fold_kernel_w(k) if self.wpack \
                 else s2d.expand_up_fold_kernel(k)
             y = jax.lax.conv_transpose(

@@ -180,3 +180,29 @@ def test_param_count_parity(which):
         mask = jnp.zeros((1, 128, 128, 128, 2), jnp.bfloat16)
         shapes = shape_init(ours, img, mask, rngs=("params",))
     assert n_params(shapes["params"]) == _torch_n_params(ref)
+
+
+def test_mc_dropout_fast_path(rng, monkeypatch):
+    """The hardware-RNG dropout mask path (VAESEG_FAST_DROPOUT=1) is
+    deterministic per key, respects the rate, and applies the 1/keep
+    scaling — same contract as the threefry path."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from vae_segmentation_tpu.models.blocks import mc_dropout
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return mc_dropout(self, x, 0.5)
+
+    x = jnp.ones((2, 8, 8, 8, 4))
+    for fast in ("1", "0"):
+        monkeypatch.setenv("VAESEG_FAST_DROPOUT", fast)
+        m = M()
+        y1 = m.apply({}, x, rngs={"dropout": jax.random.PRNGKey(3)})
+        y2 = m.apply({}, x, rngs={"dropout": jax.random.PRNGKey(3)})
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        frac = float(jnp.mean((y1 == 0).astype(jnp.float32)))
+        assert 0.40 < frac < 0.60, (fast, frac)
+        assert set(np.round(np.unique(np.asarray(y1)), 4)) <= {0.0, 2.0}

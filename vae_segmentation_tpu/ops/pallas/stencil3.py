@@ -163,9 +163,33 @@ def _accum_stats(st_ref, outs):
     st_ref[0, 1:2, :] += q
 
 
+def _apply_post(acc, r, *, xs_ref, ps_ref, pt_ref, pdlim_ref, dst_ref,
+                hw: int, cout: int, bd: int):
+    """dx-conv EPILOGUE: push the conv's output (the normalized-input
+    cotangent gxn) through the fused prologue's relu(x*s + t) backward —
+    gm = 1[x*s+t > 0] * gxn, dx = gm * s — and accumulate the affine
+    gradients ds = sum(gm * x), dt = sum(gm) into the [1, 2, Cin] block
+    (out-of-volume planes masked from the sums — under the spatial halo
+    wrap an edge shard's halo plane does not exist globally, and with x=0
+    the relu mask is t>0, so dt would pick up a spurious term without it).
+    Replaces a full-resolution XLA pass (read x + gxn, write dx, two
+    reductions) per fused-prologue conv backward."""
+    xp = xs_ref[0, r].reshape(hw, cout).astype(jnp.float32)
+    s32 = ps_ref[0].astype(jnp.float32)
+    t32 = pt_ref[0].astype(jnp.float32)
+    gm = jnp.where(xp * s32 + t32 > 0, acc, 0.0)
+    gidx = bd * pl.program_id(1) + r
+    valid = jnp.logical_and(gidx >= pdlim_ref[0], gidx <= pdlim_ref[1])
+    gmv = gm * jnp.where(valid, 1.0, 0.0)
+    dst_ref[0, 0:1, :] += jnp.sum(gmv * xp, axis=0, keepdims=True)
+    dst_ref[0, 1:2, :] += jnp.sum(gmv, axis=0, keepdims=True)
+    return gm * s32
+
+
 def _conv_kernel(hp_ref, main_ref, hn_ref, *rest,
                  h: int, w: int, cin: int, cout: int, d: int, relu: bool,
-                 bd: int = 1, pre: bool = False, stats: bool = False):
+                 bd: int = 1, pre: bool = False, stats: bool = False,
+                 post: bool = False):
     """bd output planes [H, W, Cout] per grid step, each the sum of 9
     tap-GEMMs [H*W,3C]@[3C,Cout] over its 3 depth taps. Inputs: a 1-plane
     halo below, the bd-plane main block, a 1-plane halo above — 1 + 2/bd
@@ -180,11 +204,20 @@ def _conv_kernel(hp_ref, main_ref, hn_ref, *rest,
 
     stats: extra [1, 2, Cout] f32 output accumulating the output's
     per-(batch, channel) sum and sum-of-squares (see _accum_stats)."""
+    xs_ref = ps_ref = pt_ref = pdlim_ref = dst_ref = None
     if pre:
         s_ref, t_ref, dlim_ref, k_ref, b_ref, o_ref, *st = rest
+    elif post:
+        s_ref = t_ref = dlim_ref = None
+        xs_ref, ps_ref, pt_ref, pdlim_ref, k_ref, b_ref, o_ref, \
+            dst_ref = rest
     else:
         s_ref = t_ref = dlim_ref = None
         k_ref, b_ref, o_ref, *st = rest
+    if post:
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            dst_ref[...] = jnp.zeros_like(dst_ref)
     planes = _load_planes(hp_ref, main_ref, hn_ref, pl.program_id(1),
                           h=h, w=w, cin=cin, d=d, bd=bd, pre=pre,
                           s_ref=s_ref, t_ref=t_ref, dlim_ref=dlim_ref)
@@ -209,6 +242,10 @@ def _conv_kernel(hp_ref, main_ref, hn_ref, *rest,
                         preferred_element_type=jnp.float32)
         if relu:
             acc = jnp.maximum(acc, 0.0)
+        if post:
+            acc = _apply_post(acc, r, xs_ref=xs_ref, ps_ref=ps_ref,
+                              pt_ref=pt_ref, pdlim_ref=pdlim_ref,
+                              dst_ref=dst_ref, hw=h * w, cout=cout, bd=bd)
         oc = acc.reshape(h, w, cout).astype(o_ref.dtype)
         o_ref[0, r] = oc
         if stats:
@@ -311,12 +348,21 @@ def _conv_kernel_grouped(hp_ref, main_ref, hn_ref, *rest,
                          h: int, w: int, cin: int, cout: int, d: int,
                          c: int, wpack: bool, relu: bool,
                          bd: int = 1, pre: bool = False,
-                         stats: bool = False):
+                         stats: bool = False, post: bool = False):
+    xs_ref = ps_ref = pt_ref = pdlim_ref = dst_ref = None
     if pre:
         s_ref, t_ref, dlim_ref, kg_ref, b_ref, o_ref, *st = rest
+    elif post:
+        s_ref = t_ref = dlim_ref = None
+        xs_ref, ps_ref, pt_ref, pdlim_ref, kg_ref, b_ref, o_ref, \
+            dst_ref = rest
     else:
         s_ref = t_ref = dlim_ref = None
         kg_ref, b_ref, o_ref, *st = rest
+    if post:
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            dst_ref[...] = jnp.zeros_like(dst_ref)
     planes = _load_planes(hp_ref, main_ref, hn_ref, pl.program_id(1),
                           h=h, w=w, cin=cin, d=d, bd=bd, pre=pre,
                           s_ref=s_ref, t_ref=t_ref, dlim_ref=dlim_ref)
@@ -334,6 +380,10 @@ def _conv_kernel_grouped(hp_ref, main_ref, hn_ref, *rest,
         out = accs[0]
         if relu:
             out = jnp.maximum(out, 0.0)
+        if post:
+            out = _apply_post(out, r, xs_ref=xs_ref, ps_ref=ps_ref,
+                              pt_ref=pt_ref, pdlim_ref=pdlim_ref,
+                              dst_ref=dst_ref, hw=h * w, cout=cout, bd=bd)
         oc = out.reshape(h, w, cout).astype(o_ref.dtype)
         o_ref[0, r] = oc
         if stats:
@@ -390,39 +440,52 @@ def _stats_spec(cout: int):
 
 
 def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
-                      dlim=None, stats=False):
+                      dlim=None, stats=False, post=None):
     """x [B, D, H, W, Cin]; kg [8, Cin, Cout] grouped; b [Cout] f32;
     pre: optional (scale, shift) [B, Cin] prologue arrays;
-    dlim: [2] int32 valid-plane range for pre (defaults to the whole D);
-    stats: also return the output's [B, 2, Cout] f32 (sum, sumsq)."""
+    dlim: [2] int32 valid-plane range for pre/post (defaults to whole D);
+    stats: also return the output's [B, 2, Cout] f32 (sum, sumsq);
+    post: optional (x_fwd, scale, shift) — the dx epilogue (_apply_post);
+    returns (dx, [B, 2, Cout] f32 (ds, dt)). Mutually exclusive with
+    pre/stats/relu."""
     bsz, d, h, w, cin = x.shape
     cout = kg.shape[-1]
     assert w % 8 == 0, w
-    bd = _pick_bd(d, h, w, cin, cout, dlim)
+    assert post is None or (pre is None and not stats and not relu)
+    bd = _pick_bd(d, h, w, cin, cout * (2 if post is not None else 1),
+                  dlim)
     pre_specs = [] if pre is None else [
         _affine_spec(cin), _affine_spec(cin),
         pl.BlockSpec(memory_space=pltpu.SMEM)]
-    if pre is not None and dlim is None:
+    if (pre is not None or post is not None) and dlim is None:
         dlim = jnp.array([0, d - 1], jnp.int32)
     pre_args = () if pre is None else (
         pre[0].astype(x.dtype)[:, None, :],
         pre[1].astype(x.dtype)[:, None, :], dlim)
+    post_specs = [] if post is None else [
+        _main_spec(h, w, cout, bd), _affine_spec(cout),
+        _affine_spec(cout), pl.BlockSpec(memory_space=pltpu.SMEM)]
+    post_args = () if post is None else (
+        post[0], post[1].astype(x.dtype)[:, None, :],
+        post[2].astype(x.dtype)[:, None, :], dlim)
     out_specs = _main_spec(h, w, cout, bd)
     out_shape = jax.ShapeDtypeStruct((bsz, d, h, w, cout), x.dtype)
-    if stats:
+    if stats or post is not None:
         out_specs = (out_specs, _stats_spec(cout))
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((bsz, 2, cout), jnp.float32))
     return pl.pallas_call(
         functools.partial(_conv_kernel_grouped, h=h, w=w, cin=cin,
                           cout=cout, d=d, c=c, wpack=wpack, relu=relu,
-                          bd=bd, pre=pre is not None, stats=stats),
+                          bd=bd, pre=pre is not None, stats=stats,
+                          post=post is not None),
         grid=(bsz, d // bd),
         in_specs=[
             _halo_spec(-1, d, h, w, cin, bd),
             _main_spec(h, w, cin, bd),
             _halo_spec(1, d, h, w, cin, bd),
             *pre_specs,
+            *post_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -430,7 +493,7 @@ def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
         out_shape=out_shape,
         compiler_params=_fwd_params(),
         interpret=_interpret(),
-    )(x, x, x, *pre_args, kg.astype(x.dtype),
+    )(x, x, x, *pre_args, *post_args, kg.astype(x.dtype),
       b.reshape(1, -1).astype(jnp.float32))
 
 
@@ -537,42 +600,53 @@ def _run_dk_grouped(x, g, c: int, wpack: bool, pre=None, dlim=None):
 
 
 def _run_conv(x: jax.Array, k: jax.Array, b: jax.Array, relu: bool,
-              pre=None, dlim=None, stats=False):
+              pre=None, dlim=None, stats=False, post=None):
     """x [B, D, H, W, Cin]; k [3,3,3,Cin,Cout]; b [Cout] f32;
     pre: optional (scale, shift) [B, Cin] prologue arrays;
-    dlim: [2] int32 valid-plane range for pre (defaults to the whole D);
-    stats: also return the output's [B, 2, Cout] f32 (sum, sumsq)."""
+    dlim: [2] int32 valid-plane range for pre/post (defaults to whole D);
+    stats: also return the output's [B, 2, Cout] f32 (sum, sumsq);
+    post: optional (x_fwd, scale, shift) dx epilogue — see
+    _run_conv_grouped."""
     bsz, d, h, w, cin = x.shape
     cout = k.shape[-1]
     assert w % 8 == 0, w  # [H, W, C] -> [H*W, C] collapse must be layout-free
+    assert post is None or (pre is None and not stats and not relu)
     kp = _pack_kernel(k).astype(x.dtype)
     # the dense kernel's _shifted3 concat buffers (cin < 128) triple the
     # plane working set; halve the block budget accordingly
-    bd = _pick_bd(d, h, w, cin * (3 if cin < 128 else 1), cout, dlim)
+    bd = _pick_bd(d, h, w, cin * (3 if cin < 128 else 1),
+                  cout * (2 if post is not None else 1), dlim)
     pre_specs = [] if pre is None else [
         _affine_spec(cin), _affine_spec(cin),
         pl.BlockSpec(memory_space=pltpu.SMEM)]
-    if pre is not None and dlim is None:
+    if (pre is not None or post is not None) and dlim is None:
         dlim = jnp.array([0, d - 1], jnp.int32)
     pre_args = () if pre is None else (
         pre[0].astype(x.dtype)[:, None, :],
         pre[1].astype(x.dtype)[:, None, :], dlim)
+    post_specs = [] if post is None else [
+        _main_spec(h, w, cout, bd), _affine_spec(cout),
+        _affine_spec(cout), pl.BlockSpec(memory_space=pltpu.SMEM)]
+    post_args = () if post is None else (
+        post[0], post[1].astype(x.dtype)[:, None, :],
+        post[2].astype(x.dtype)[:, None, :], dlim)
     out_specs = _main_spec(h, w, cout, bd)
     out_shape = jax.ShapeDtypeStruct((bsz, d, h, w, cout), x.dtype)
-    if stats:
+    if stats or post is not None:
         out_specs = (out_specs, _stats_spec(cout))
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((bsz, 2, cout), jnp.float32))
     return pl.pallas_call(
         functools.partial(_conv_kernel, h=h, w=w, cin=cin, cout=cout, d=d,
                           relu=relu, bd=bd, pre=pre is not None,
-                          stats=stats),
+                          stats=stats, post=post is not None),
         grid=(bsz, d // bd),
         in_specs=[
             _halo_spec(-1, d, h, w, cin, bd),
             _main_spec(h, w, cin, bd),
             _halo_spec(1, d, h, w, cin, bd),
             *pre_specs,
+            *post_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # packed weights
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bias [1, Cout] f32
         ],
@@ -580,7 +654,8 @@ def _run_conv(x: jax.Array, k: jax.Array, b: jax.Array, relu: bool,
         out_shape=out_shape,
         compiler_params=_fwd_params(),
         interpret=_interpret(),
-    )(x, x, x, *pre_args, kp, b.reshape(1, -1).astype(jnp.float32))
+    )(x, x, x, *pre_args, *post_args, kp,
+      b.reshape(1, -1).astype(jnp.float32))
 
 
 def _dk_kernel(hp_ref, main_ref, hn_ref, *rest,
@@ -788,31 +863,6 @@ conv3_stencil_folded.defvjp(_fwd_folded, _bwd_folded)
 # ---------------------------------------------------------------------------
 
 
-def _pre_mask_grads(x, s, t, gxn, dlim):
-    """Backward elementwise shared by both pre ops: push the
-    normalized-input cotangent gxn through relu(x*s + t). One fused XLA
-    pass (mask + scale + tiny reductions); nothing full-resolution is
-    materialized beyond dx itself.
-
-    dlim masks out-of-volume planes from the ds/dt reductions: under the
-    spatial halo wrap an edge shard's halo plane does not exist globally,
-    but gxn is nonzero there (the backward conv's contribution to the
-    discarded SAME-padding position) and with x=0 the relu mask is t>0 —
-    without the mask dt would pick up that spurious term. dx needs no
-    mask: edge-halo cotangents are dropped by the ppermute transpose."""
-    sb = s[:, None, None, None, :].astype(jnp.float32)
-    tb = t[:, None, None, None, :].astype(jnp.float32)
-    x32 = x.astype(jnp.float32)
-    gm = jnp.where(x32 * sb + tb > 0, gxn.astype(jnp.float32), 0.0)
-    dx = (gm * sb).astype(x.dtype)
-    if dlim is not None:
-        didx = jnp.arange(x.shape[1])[None, :, None, None, None]
-        gm = jnp.where((didx >= dlim[0]) & (didx <= dlim[1]), gm, 0.0)
-    ds = jnp.sum(gm * x32, axis=(1, 2, 3))
-    dt = jnp.sum(gm, axis=(1, 2, 3))
-    return dx, ds.astype(s.dtype), dt.astype(t.dtype)
-
-
 def _dlim_ct(dlim):
     """Cotangent for the integer dlim operand (float0 when present)."""
     import numpy as _np
@@ -840,10 +890,14 @@ def _bwd_pre(stats, res, g):
     x, s, t, k, b, dlim, y = res
     gy = _stats_cotangent(y, g[0], g[1]) if stats else g
     k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
-    gxn = _run_conv(gy, k_t, jnp.zeros((k.shape[3],), jnp.float32), False)
-    dx, ds, dt = _pre_mask_grads(x, s, t, gxn, dlim)
+    # dx conv with the prologue backward fused as an epilogue: the mask /
+    # scale / ds / dt all happen in-kernel (no XLA pass re-reading gxn)
+    dx, dst = _run_conv(gy, k_t, jnp.zeros((k.shape[3],), jnp.float32),
+                        False, post=(x, s, t), dlim=dlim)
+    ds, dt = dst[:, 0].astype(s.dtype), dst[:, 1].astype(t.dtype)
     dk, db = _run_dk(x, gy, pre=(s, t), dlim=dlim)
-    return dx, ds, dt, dk.astype(k.dtype), db.astype(b.dtype), _dlim_ct(dlim)
+    return (dx.astype(x.dtype), ds, dt, dk.astype(k.dtype),
+            db.astype(b.dtype), _dlim_ct(dlim))
 
 
 conv3_stencil_pre.defvjp(_fwd_pre, _bwd_pre)
@@ -877,14 +931,17 @@ def _bwd_folded_pre(wpack, stats, res, g):
     gy = _stats_cotangent(y, g[0], g[1]) if stats else g
     k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     cout_orig = gy.shape[-1] // (16 if wpack else 8)
-    gxn = _run_conv_grouped(gy, pack_grouped(k_t),
-                            jnp.zeros((k.shape[3],), jnp.float32), False,
-                            cout_orig, wpack)
-    dx, ds, dt = _pre_mask_grads(x, s, t, gxn, dlim)
+    # dx conv with the prologue backward fused as an epilogue (see _bwd_pre)
+    dx, dst = _run_conv_grouped(gy, pack_grouped(k_t),
+                                jnp.zeros((k.shape[3],), jnp.float32),
+                                False, cout_orig, wpack, post=(x, s, t),
+                                dlim=dlim)
+    ds, dt = dst[:, 0].astype(s.dtype), dst[:, 1].astype(t.dtype)
     dkg, db = _run_dk_grouped(x, gy, x.shape[-1] // (16 if wpack else 8),
                               wpack, pre=(s, t), dlim=dlim)
     dk = _unpack_grouped_grad(dkg)
-    return dx, ds, dt, dk.astype(k.dtype), db.astype(b.dtype), _dlim_ct(dlim)
+    return (dx.astype(x.dtype), ds, dt, dk.astype(k.dtype),
+            db.astype(b.dtype), _dlim_ct(dlim))
 
 
 conv3_stencil_folded_pre.defvjp(_fwd_folded_pre, _bwd_folded_pre)

@@ -239,3 +239,81 @@ def test_up_block_routes_through_bridge_identically(rng, monkeypatch):
     got = mod.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_down_bridge_w_exact(rng):
+    """down_bridge_w vs the XLA folded-space stride-2 conv
+    (s2d.expand_down_fold_kernel_w): forward, gradients, stats."""
+    from vae_segmentation_tpu.ops import s2d
+    from vae_segmentation_tpu.ops.pallas.upbridge import down_bridge_w
+
+    c, o = 4, 4
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4, 16 * c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 2, 2, c, o)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(o,)), jnp.float32)
+
+    def xla(xv, kv, bv):
+        y = jax.lax.conv_general_dilated(
+            xv, s2d.expand_down_fold_kernel_w(kv), (2, 2, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y + jnp.tile(bv, s2d.NB)
+
+    want = xla(x, k, b)
+    got = down_bridge_w(x, k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    got_s, st = down_bridge_w(x, k, b, True)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(got))
+    np.testing.assert_allclose(
+        np.asarray(st[:, 0]), np.asarray(jnp.sum(want, axis=(1, 2, 3))),
+        rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(st[:, 1]),
+        np.asarray(jnp.sum(want.astype(jnp.float32) ** 2, axis=(1, 2, 3))),
+        rtol=1e-5, atol=1e-4)
+
+    def loss(f):
+        return lambda *a: jnp.sum(jnp.sin(f(*a)))
+
+    gw = jax.grad(loss(xla), argnums=(0, 1, 2))(x, k, b)
+    gg = jax.grad(loss(down_bridge_w), argnums=(0, 1, 2))(x, k, b)
+    for a, bb, name in zip(gg, gw, "xkb"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+    # stats path gradient: the (sum, sumsq) outputs backpropagate too
+    def loss_stats(xv, kv, bv):
+        y, st = down_bridge_w(xv, kv, bv, True)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(st[:, 0] * 0.3) \
+            + jnp.sum(st[:, 1] * 0.01)
+
+    def loss_stats_ref(xv, kv, bv):
+        y = xla(xv, kv, bv)
+        return (jnp.sum(jnp.sin(y))
+                + jnp.sum(jnp.sum(y, axis=(1, 2, 3)) * 0.3)
+                + jnp.sum(jnp.sum(y.astype(jnp.float32) ** 2,
+                                  axis=(1, 2, 3)) * 0.01))
+
+    gw = jax.grad(loss_stats_ref, argnums=(0, 1, 2))(x, k, b)
+    gg = jax.grad(loss_stats, argnums=(0, 1, 2))(x, k, b)
+    for a, bb, name in zip(gg, gw, "xkb"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=2e-4, err_msg=name)
+
+
+def test_down_block_routes_through_bridge_identically(rng, monkeypatch):
+    """Down(folded_in, folded_out, wpack_in) with the Pallas bridge forced
+    on (interpret mode) equals the XLA fold_bridge route."""
+    from vae_segmentation_tpu.models.blocks import Down
+
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 2, 64)), jnp.float32)
+    mod = Down(4, dtype=jnp.float32, folded_in=True, folded_out=True,
+               wpack_in=True)
+    monkeypatch.setenv("VAESEG_STENCIL", "0")
+    params = mod.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    want = mod.apply({"params": params}, x)
+    monkeypatch.setenv("VAESEG_STENCIL", "1")
+    got = mod.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

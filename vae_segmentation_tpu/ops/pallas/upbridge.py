@@ -196,3 +196,210 @@ def _bwd(res, g):
 
 
 up_bridge_w.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# The DOWN-direction mirror: W-packed folded fine -> plain folded coarse in
+# one kernel (the s2d.expand_down_fold_kernel_w conv). Along W the packed
+# fine grid equals the folded coarse grid, so the delta_w taps are LANE
+# halves; delta_d selects the input plane of the pair and delta_h the row
+# parity (a sublane-pair view + middle-dim index, like the up backward).
+# ---------------------------------------------------------------------------
+
+
+def _down_routing(k: jax.Array) -> jax.Array:
+    """TConv-style [2,2,2,C,O] stride-2 conv kernel -> M [8, 8C, 8O]:
+    M[(dd,dh,dw)] = block-diag rows, matching ops/s2d.expand_down_kernel's
+    eps-major kflat: out block (dd,dh,dw) contracts the full folded lane
+    group of the selected input half."""
+    from vae_segmentation_tpu.ops import s2d
+
+    c, o = k.shape[3], k.shape[4]
+    kflat = s2d.expand_down_kernel(k).reshape(8 * c, o)
+    m = jnp.zeros((8, 8 * c, 8 * o), k.dtype)
+    for dd in range(2):
+        for dh in range(2):
+            for dw in range(2):
+                dl = (dd * 2 + dh) * 2 + dw
+                m = m.at[dl, :, dl * o:(dl + 1) * o].set(kflat)
+    return m
+
+
+def _down_fwd_kernel(x_ref, m_ref, b_ref, o_ref, *, hg: int, wg: int,
+                     cin2: int, lout: int, stats: bool, st_ref=None):
+    # x block [1, 2, Hg, Wg, 2*8C] (fine plane pair); out [1, 1, Hg/2, Wg, 8O]
+    c8 = cin2 // 2
+    acc = None
+    for dd in range(2):
+        xr = x_ref[0, dd].reshape(hg // 2, 2, wg, cin2)
+        for dh in range(2):
+            xp = xr[:, dh].reshape((hg // 2) * wg, cin2)
+            for dw in range(2):
+                part = jax.lax.dot_general(
+                    xp[:, dw * c8:(dw + 1) * c8],
+                    m_ref[(dd * 2 + dh) * 2 + dw],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+    acc = acc + b_ref[0:1, :]
+    oc = acc.reshape(hg // 2, wg, lout).astype(o_ref.dtype)
+    o_ref[0, 0] = oc
+    if stats:
+        o32 = oc.reshape((hg // 2) * wg, lout).astype(jnp.float32)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            st_ref[...] = jnp.zeros_like(st_ref)
+
+        st_ref[0, 0:1, :] += jnp.sum(o32, axis=0, keepdims=True)
+        st_ref[0, 1:2, :] += jnp.sum(o32 * o32, axis=0, keepdims=True)
+
+
+def _down_bwd_kernel(x_ref, g_ref, m_ref, dx_ref, dk_ref, db_ref, acc_ref,
+                     dbacc_ref, *, hg: int, wg: int, cin2: int, lout: int,
+                     n: int):
+    step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        dbacc_ref[...] = jnp.zeros_like(dbacc_ref)
+
+    c8 = cin2 // 2
+    g = g_ref[0, 0].reshape((hg // 2) * wg, lout)
+    dbacc_ref[0:1, :] += jnp.sum(g.astype(jnp.float32), axis=0,
+                                 keepdims=True)
+    for dd in range(2):
+        xr = x_ref[0, dd].reshape(hg // 2, 2, wg, cin2)
+        parts = []
+        for dh in range(2):
+            xp = xr[:, dh].reshape((hg // 2) * wg, cin2)
+            halves = []
+            for dw in range(2):
+                dl = (dd * 2 + dh) * 2 + dw
+                halves.append(jax.lax.dot_general(
+                    g, m_ref[dl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                acc_ref[dl] += jax.lax.dot_general(
+                    xp[:, dw * c8:(dw + 1) * c8], g,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)[:, :]
+            dxp = jnp.concatenate(halves, axis=1)  # [hw, 2*8C]
+            parts.append(dxp.reshape(hg // 2, 1, wg, cin2))
+        inter = jnp.concatenate(parts, axis=1).reshape(hg, wg, cin2)
+        dx_ref[0, dd] = inter.astype(dx_ref.dtype)
+
+    @pl.when(step == n - 1)
+    def _():
+        dk_ref[...] = acc_ref[...]
+        db_ref[...] = dbacc_ref[...]
+
+
+def _down_specs(hg, wg, cin2, lout):
+    xs = pl.BlockSpec((1, 2, hg, wg, cin2), lambda bi, i: (bi, i, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    os = pl.BlockSpec((1, 1, hg // 2, wg, lout),
+                      lambda bi, i: (bi, i, 0, 0, 0),
+                      memory_space=pltpu.VMEM)
+    return xs, os
+
+
+def _run_down_fwd(x, m, bias, stats):
+    b, d, hg, wg, cin2 = x.shape
+    lout = m.shape[-1]
+    xs, os = _down_specs(hg, wg, cin2, lout)
+    out_specs, out_shape = os, jax.ShapeDtypeStruct(
+        (b, d // 2, hg // 2, wg, lout), x.dtype)
+    if stats:
+        out_specs = (os, pl.BlockSpec((1, 2, lout),
+                                      lambda bi, i: (bi, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b, 2, lout), jnp.float32))
+
+    def kern(x_ref, m_ref, b_ref, *outs):
+        _down_fwd_kernel(x_ref, m_ref, b_ref, outs[0], hg=hg, wg=wg,
+                         cin2=cin2, lout=lout, stats=stats,
+                         st_ref=outs[1] if stats else None)
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, d // 2),
+        in_specs=[xs, pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(x, m.astype(x.dtype), bias.reshape(1, -1).astype(jnp.float32))
+
+
+def _run_down_bwd(x, gy, m):
+    b, d, hg, wg, cin2 = x.shape
+    lout = m.shape[-1]
+    xs, os = _down_specs(hg, wg, cin2, lout)
+    dx, dk, db = pl.pallas_call(
+        functools.partial(_down_bwd_kernel, hg=hg, wg=wg, cin2=cin2,
+                          lout=lout, n=b * (d // 2)),
+        grid=(b, d // 2),
+        in_specs=[xs, os, pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, 2, hg, wg, cin2),
+                                lambda bi, i: (bi, i, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, cin2 // 2, lout),
+                                lambda bi, i: (0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, lout), lambda bi, i: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, d, hg, wg, cin2), x.dtype),
+                   jax.ShapeDtypeStruct((8, cin2 // 2, lout), jnp.float32),
+                   jax.ShapeDtypeStruct((1, lout), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((8, cin2 // 2, lout), jnp.float32),
+                        pltpu.VMEM((1, lout), jnp.float32)],
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(x, gy, m.astype(x.dtype))
+    return dx, dk, db.reshape(lout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def down_bridge_w(x: jax.Array, k: jax.Array, bias: jax.Array,
+                  stats: bool = False):
+    """W-PACKED folded fine [B, D, Hg, Wg, 2*8C] -> plain folded coarse
+    [B, D/2, Hg/2, Wg, 8O] (== the s2d.expand_down_fold_kernel_w conv).
+    k: the raw [2,2,2,C,O] stride-2 kernel; bias: [O] f32 (tiled to 8O).
+    stats: also return the output's [B, 2, 8O] f32 (sum, sumsq) so the
+    following DoubleConv's first-conv stats need no separate pass."""
+    out, _ = _down_fwd_vjp(x, k, bias, stats)
+    return out
+
+
+def _down_fwd_vjp(x, k, bias, stats):
+    from vae_segmentation_tpu.ops import s2d
+
+    m = _down_routing(k)
+    out = _run_down_fwd(x, m, jnp.tile(bias, s2d.NB), stats)
+    y = out[0] if stats else None
+    return out, (x, k, y)
+
+
+def _down_bwd_vjp(stats, res, g):
+    from vae_segmentation_tpu.ops import s2d
+    from vae_segmentation_tpu.ops.pallas.stencil3 import _stats_cotangent
+
+    x, k, y = res
+    c, o = k.shape[3], k.shape[4]
+    m = _down_routing(k)
+    gy = _stats_cotangent(y, g[0], g[1]) if stats else g
+    dx, dkm, db = _run_down_bwd(x, gy, m)
+    # adjoint of _down_routing -> kflat -> expand_down_kernel
+    kflat_ct = sum(dkm[dl, :, dl * o:(dl + 1) * o] for dl in range(8))
+    _, vjp = jax.vjp(lambda kk: s2d.expand_down_kernel(kk).reshape(8 * c, o),
+                     k)
+    dk, = vjp(kflat_ct.astype(k.dtype))
+    # db of the tiled bias: sum the 8 fold copies
+    db_orig = db.reshape(s2d.NB, o).sum(0)
+    return dx.astype(x.dtype), dk.astype(k.dtype), db_orig.astype(jnp.float32)
+
+
+down_bridge_w.defvjp(_down_fwd_vjp, _down_bwd_vjp)

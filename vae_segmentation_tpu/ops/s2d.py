@@ -416,15 +416,26 @@ def _group_mat(fc: int, c: int) -> jax.Array:
     return (blk[:, None] == blk[None, :]).astype(jnp.float32)
 
 
+def _group_sum(e: jax.Array, c: int) -> jax.Array:
+    """Per-lane sums over each lane's delta-block class group, via the 0/1
+    group matmul on the lane dim.
+
+    Measured dead end (round 3): for c == 2 the partner is the adjacent
+    lane, and a lane-roll + parity-select would stay inside one fusion —
+    but XLA lowers the lane roll as slice+concat with f32 [.., 1]/[.., 31]
+    pieces, costing ~16 ms/step vs the matmul path's ~4. The matmul's real
+    cost is the f32 exp tensor materialized between fusion and dot; fixing
+    THAT needs a Pallas softmax, not a roll."""
+    return jax.lax.dot_general(e, _group_mat(e.shape[-1], c),
+                               (((e.ndim - 1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _softmax_folded_math(xf: jax.Array, c: int) -> jax.Array:
-    fc = xf.shape[-1]
     x32 = xf.astype(jnp.float32)
     m = jnp.max(x32, axis=-1, keepdims=True)
     e = jnp.exp(x32 - m)
-    denom = jax.lax.dot_general(e, _group_mat(fc, c),
-                                (((e.ndim - 1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    return e / denom
+    return e / _group_sum(e, c)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -455,9 +466,7 @@ def _softmax_folded_bwd(c, xf, g):
     y = _softmax_folded_math(xf, c)
     g32 = g.astype(jnp.float32)
     # exact softmax VJP, group-wise: dx = (g - sum_group(g * y)) * y
-    gy = jax.lax.dot_general(g32 * y, _group_mat(xf.shape[-1], c),
-                             (((y.ndim - 1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    gy = _group_sum(g32 * y, c)
     return ((g32 - gy) * y).astype(xf.dtype),
 
 

@@ -317,3 +317,36 @@ def test_down_block_routes_through_bridge_identically(rng, monkeypatch):
     got = mod.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_out_conv_fused_softmax_identically(rng, monkeypatch):
+    """OutConv(softmax_classes=2) on the folded stencil path (fused
+    conv+softmax kernel epilogue, interpret mode) equals conv -> folded
+    softmax, forward and gradient."""
+    from vae_segmentation_tpu.models.blocks import OutConv
+    from vae_segmentation_tpu.ops import s2d
+
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 128)), jnp.float32)
+    mod = OutConv(2, dtype=jnp.float32, folded=True, wpack=True)
+    monkeypatch.setenv("VAESEG_STENCIL", "1")
+    params = mod.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+
+    def fused(p, v):
+        return mod.apply({"params": p}, v, softmax_classes=2)
+
+    def plain(p, v):
+        logits = mod.apply({"params": p}, v)
+        return s2d.softmax_folded(logits, 2).astype(jnp.float32)
+
+    got = fused(params, x)
+    want = plain(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    g1 = jax.grad(lambda p: jnp.sum(jnp.cos(fused(p, x))))(params)
+    g0 = jax.grad(lambda p: jnp.sum(jnp.cos(plain(p, x))))(params)
+    for (p1, l1), (_, l0) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g0)[0]):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(p1))

@@ -474,7 +474,8 @@ class Conv3(nn.Module):
     wpack: bool = False
 
     @nn.compact
-    def __call__(self, x, pre=None, want_stats: bool = False):
+    def __call__(self, x, pre=None, want_stats: bool = False,
+                 softmax_classes: int = 0):
         from vae_segmentation_tpu.ops import s2d
 
         pack = s2d.WPACK if self.wpack else 1
@@ -551,6 +552,19 @@ class Conv3(nn.Module):
                     # grouped-tap path: exploits the fold structure to merge
                     # the 27 tap-GEMMs into 8 (exact; stencil3.py)
                     wp = self.wpack
+                    if softmax_classes and pre is None and not want:
+                        # fused head: conv + bias + class-group softmax in
+                        # the kernel epilogue (no logits/exp HBM round trip)
+                        from vae_segmentation_tpu.ops.pallas.stencil3 \
+                            import conv3_stencil_folded_softmax
+
+                        nc = softmax_classes
+                        out = stencil_shard_wrap(
+                            lambda x_, k_, b_:
+                            conv3_stencil_folded_softmax(x_, k_, b_, wp,
+                                                         nc))(
+                            xd, ke.astype(self.dtype), bias_f)
+                        return ret(out)
                     if pre is not None:
                         out = stencil_shard_wrap_pre(
                             lambda x_, s_, t_, k_, b_, dlim=None:
@@ -883,7 +897,15 @@ def remat_stage(cls, enabled: bool = True):
 
 class OutConv(nn.Module):
     """Plain 3^3 conv head (no norm/act), fp32 output for the softmax
-    (joint_model.py:224,366). folded: s2d in AND out."""
+    (joint_model.py:224,366). folded: s2d in AND out.
+
+    softmax_classes (call arg): return class-group softmax PROBABILITIES
+    (in the compute dtype) instead of fp32 logits — on the folded stencil
+    path the softmax fuses into the conv kernel's epilogue
+    (ops/pallas/stencil3.py::conv3_stencil_folded_softmax; no logits or
+    f32 exp HBM round trip), elsewhere it falls back to the plain
+    softmax. Callers keep the separate-softmax path when the reference's
+    head dropout sits between conv and softmax (joint_model.py:386-387)."""
 
     features: int
     dtype: Dtype = jnp.bfloat16
@@ -891,8 +913,21 @@ class OutConv(nn.Module):
     wpack: bool = False
 
     @nn.compact
-    def __call__(self, x):
-        x = Conv3(self.features, dtype=self.dtype,
+    def __call__(self, x, softmax_classes: int = 0):
+        from vae_segmentation_tpu.ops import s2d
+
+        fused = bool(softmax_classes) and self.folded and use_stencil() \
+            and x.shape[3] % 8 == 0 and x.shape[-1] >= 128
+        y = Conv3(self.features, dtype=self.dtype,
                   mode="folded" if self.folded else "normal",
-                  wpack=self.wpack)(x)
-        return x.astype(jnp.float32)
+                  wpack=self.wpack)(
+                      x, softmax_classes=softmax_classes if fused else 0)
+        if not softmax_classes:
+            return y.astype(jnp.float32)
+        if fused:
+            return y  # probabilities, compute dtype
+        if self.folded:
+            return s2d.softmax_folded(y.astype(jnp.float32),
+                                      softmax_classes).astype(self.dtype)
+        return jax.nn.softmax(y.astype(jnp.float32),
+                              axis=-1).astype(self.dtype)

@@ -95,12 +95,23 @@ class SegUNet(nn.Module):
         h = drop(self.up3(h) + x3.astype(self.dtype))
         h = drop(self.up4(h) + x2.astype(self.dtype))
         h = drop(self.up5(h))
-        h = drop(self.out_block(h))
         # softmax math in f32, output stored in the compute dtype: a full-res
-        # f32 probability volume is 2 GB at 128^3 batch 4 (HBM-decisive)
+        # f32 probability volume is 2 GB at 128^3 batch 4 (HBM-decisive).
+        # With the head dropout inactive (the flagship default) the softmax
+        # fuses into the out_block conv's kernel epilogue; an active head
+        # dropout must sit BETWEEN conv and softmax (joint_model.py:386-387)
+        # so that path keeps the separate softmax.
+        if not dropout:
+            h = self.out_block(h, softmax_classes=self.n_class)
+        else:
+            h = drop(self.out_block(h))
+            if fold:
+                h = s2d_ops.softmax_folded(h, self.n_class) \
+                    .astype(self.dtype)
+            else:
+                h = jax.nn.softmax(h.astype(jnp.float32), axis=-1) \
+                    .astype(self.dtype)
         if fold:
-            h = s2d_ops.softmax_folded(h, self.n_class).astype(self.dtype)
             return h if self.folded_out else s2d_ops.unfold_rep(h,
                                                                 self.n_class)
-        return jax.nn.softmax(h.astype(jnp.float32), axis=-1) \
-            .astype(self.dtype)
+        return h

@@ -131,14 +131,16 @@ class ShapeVAE(nn.Module):
         for up in (self.up1, self.up2, self.up3, self.up4, self.up5):
             x = up(x)
             x = mc_dropout(self, x, dropout)
-        x = self.out_block(x)
         # f32 softmax math, compute-dtype storage (HBM: 2 GB vs 1 GB at
-        # 128^3 batch 4 per probability volume)
+        # 128^3 batch 4 per probability volume); on the folded stencil
+        # path the softmax fuses into the head conv's kernel epilogue
+        # (no dropout sits between head conv and softmax here,
+        # joint_model.py:265-266)
+        x = self.out_block(x, softmax_classes=self.n_class)
         if fold:
-            x = s2d_ops.softmax_folded(x, self.n_class).astype(self.dtype)
             return x if self.folded_io else s2d_ops.unfold_rep(x,
                                                                self.n_class)
-        return jax.nn.softmax(x, axis=-1).astype(self.dtype)
+        return x
 
     def __call__(self, x: jax.Array, if_random: bool = False, scale: float = 1.0,
                  mid_input: bool = False, dropout: float = 0.0):

@@ -348,14 +348,19 @@ def _conv_kernel_grouped(hp_ref, main_ref, hn_ref, *rest,
                          h: int, w: int, cin: int, cout: int, d: int,
                          c: int, wpack: bool, relu: bool,
                          bd: int = 1, pre: bool = False,
-                         stats: bool = False, post: bool = False):
-    xs_ref = ps_ref = pt_ref = pdlim_ref = dst_ref = None
+                         stats: bool = False, post: bool = False,
+                         soft: bool = False):
+    xs_ref = ps_ref = pt_ref = pdlim_ref = dst_ref = gmat_ref = None
     if pre:
         s_ref, t_ref, dlim_ref, kg_ref, b_ref, o_ref, *st = rest
     elif post:
         s_ref = t_ref = dlim_ref = None
         xs_ref, ps_ref, pt_ref, pdlim_ref, kg_ref, b_ref, o_ref, \
             dst_ref = rest
+    elif soft:
+        s_ref = t_ref = dlim_ref = None
+        gmat_ref, kg_ref, b_ref, o_ref = rest
+        st = []
     else:
         s_ref = t_ref = dlim_ref = None
         kg_ref, b_ref, o_ref, *st = rest
@@ -380,6 +385,17 @@ def _conv_kernel_grouped(hp_ref, main_ref, hn_ref, *rest,
         out = accs[0]
         if relu:
             out = jnp.maximum(out, 0.0)
+        if soft:
+            # fused class-group softmax (s2d.softmax_folded math: one
+            # stability max over the whole folded lane dim, group exp-sums
+            # via the 0/1 lane matmul — here an in-VMEM MXU op, no f32
+            # exp tensor ever touches HBM)
+            m = jnp.max(out, axis=1, keepdims=True)
+            e = jnp.exp(out - m)
+            denom = jax.lax.dot_general(
+                e, gmat_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out = e / denom
         if post:
             out = _apply_post(out, r, xs_ref=xs_ref, ps_ref=ps_ref,
                               pt_ref=pt_ref, pdlim_ref=pdlim_ref,
@@ -440,7 +456,7 @@ def _stats_spec(cout: int):
 
 
 def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
-                      dlim=None, stats=False, post=None):
+                      dlim=None, stats=False, post=None, soft_gmat=None):
     """x [B, D, H, W, Cin]; kg [8, Cin, Cout] grouped; b [Cout] f32;
     pre: optional (scale, shift) [B, Cin] prologue arrays;
     dlim: [2] int32 valid-plane range for pre/post (defaults to whole D);
@@ -452,6 +468,8 @@ def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
     cout = kg.shape[-1]
     assert w % 8 == 0, w
     assert post is None or (pre is None and not stats and not relu)
+    assert soft_gmat is None or (pre is None and post is None
+                                 and not stats and not relu)
     bd = _pick_bd(d, h, w, cin, cout * (2 if post is not None else 1),
                   dlim)
     pre_specs = [] if pre is None else [
@@ -468,6 +486,10 @@ def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
     post_args = () if post is None else (
         post[0], post[1].astype(x.dtype)[:, None, :],
         post[2].astype(x.dtype)[:, None, :], dlim)
+    soft_specs = [] if soft_gmat is None else [
+        pl.BlockSpec(memory_space=pltpu.VMEM)]
+    soft_args = () if soft_gmat is None else (
+        soft_gmat.astype(jnp.float32),)
     out_specs = _main_spec(h, w, cout, bd)
     out_shape = jax.ShapeDtypeStruct((bsz, d, h, w, cout), x.dtype)
     if stats or post is not None:
@@ -478,7 +500,8 @@ def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
         functools.partial(_conv_kernel_grouped, h=h, w=w, cin=cin,
                           cout=cout, d=d, c=c, wpack=wpack, relu=relu,
                           bd=bd, pre=pre is not None, stats=stats,
-                          post=post is not None),
+                          post=post is not None,
+                          soft=soft_gmat is not None),
         grid=(bsz, d // bd),
         in_specs=[
             _halo_spec(-1, d, h, w, cin, bd),
@@ -486,6 +509,7 @@ def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
             _halo_spec(1, d, h, w, cin, bd),
             *pre_specs,
             *post_specs,
+            *soft_specs,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -493,7 +517,7 @@ def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
         out_shape=out_shape,
         compiler_params=_fwd_params(),
         interpret=_interpret(),
-    )(x, x, x, *pre_args, *post_args, kg.astype(x.dtype),
+    )(x, x, x, *pre_args, *post_args, *soft_args, kg.astype(x.dtype),
       b.reshape(1, -1).astype(jnp.float32))
 
 
@@ -945,3 +969,59 @@ def _bwd_folded_pre(wpack, stats, res, g):
 
 
 conv3_stencil_folded_pre.defvjp(_fwd_folded_pre, _bwd_folded_pre)
+
+
+# ---------------------------------------------------------------------------
+# Fused conv + class-group softmax HEAD (the out_block): the 3^3 folded
+# stencil conv's epilogue computes s2d.softmax_folded of (conv + bias)
+# in-VMEM, so neither the logits nor the f32 exp tensor ever round-trip
+# HBM (~1.4 ms per head softmax at b4 128^3, round-3 trace).
+# ---------------------------------------------------------------------------
+
+
+def _softmax_gmat(fc: int, c: int) -> jax.Array:
+    blk = jnp.arange(fc) // c
+    return (blk[:, None] == blk[None, :]).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3_stencil_folded_softmax(x: jax.Array, k: jax.Array, b: jax.Array,
+                                 wpack: bool, n_class: int) -> jax.Array:
+    """conv3_stencil_folded + bias + per-class-group softmax over the
+    output lanes, fused in the kernel epilogue. Output in x.dtype ==
+    s2d.softmax_folded(conv(x) + b, n_class) up to fp order."""
+    y, _ = _fwd_folded_softmax(x, k, b, wpack, n_class)
+    return y
+
+
+def _fwd_folded_softmax(x, k, b, wpack, n_class):
+    kg = pack_grouped(k)
+    cout = k.shape[-1] * 8  # folded output lanes per W-half
+    y = _run_conv_grouped(x, kg, b, False,
+                          x.shape[-1] // (16 if wpack else 8), wpack,
+                          soft_gmat=_softmax_gmat(kg.shape[-1], n_class))
+    return y, (x, k, b, y)
+
+
+def _bwd_folded_softmax(wpack, n_class, res, g):
+    x, k, b, y = res
+    y32 = y.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    gmat = _softmax_gmat(y.shape[-1], n_class)
+    gy = jax.lax.dot_general(g32 * y32, gmat,
+                             (((y.ndim - 1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dacc = ((g32 - gy) * y32).astype(x.dtype)  # softmax VJP -> conv cotangent
+    k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    cout_orig = dacc.shape[-1] // (16 if wpack else 8)
+    dx = _run_conv_grouped(dacc, pack_grouped(k_t),
+                           jnp.zeros((k.shape[3],), jnp.float32), False,
+                           cout_orig, wpack)
+    dkg, db = _run_dk_grouped(x, dacc, x.shape[-1] // (16 if wpack else 8),
+                              wpack)
+    dk = _unpack_grouped_grad(dkg)
+    return dx.astype(x.dtype), dk.astype(k.dtype), db.astype(b.dtype)
+
+
+conv3_stencil_folded_softmax.defvjp(_fwd_folded_softmax,
+                                    _bwd_folded_softmax)

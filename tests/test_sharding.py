@@ -330,8 +330,11 @@ def test_stencil_under_spatial_mesh_matches_single_device(rng, monkeypatch):
     mesh = parallel.make_mesh(n_data=2, n_spatial=2)
     loss_sp, w_sp = run(mesh)
     assert abs(loss_1 - loss_sp) < 1e-6, (loss_1, loss_sp)
+    # rtol: the dx kernels accumulate the prologue's ds/dt per shard (then
+    # psum) vs one global accumulation single-device — same math, fp order
+    # differs at the ~1e-6 level
     np.testing.assert_allclose(np.asarray(w_1), np.asarray(w_sp),
-                               rtol=1e-6, atol=1e-7)
+                               rtol=1e-5, atol=1e-7)
 
 
 def test_fused_prologue_under_spatial_mesh(rng, monkeypatch):

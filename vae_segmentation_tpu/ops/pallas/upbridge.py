@@ -1,4 +1,5 @@
-"""Pallas folded-space Up bridge (W-packed output).
+"""Pallas folded-space stage-boundary bridges: Up (W-packed output) and
+Down (W-packed input; second half of this file).
 
 The Up boundary's folded->folded stride-2 ConvTranspose
 (s2d.expand_up_fold_kernel_w via XLA conv_transpose) is mathematically one

@@ -350,3 +350,62 @@ def test_out_conv_fused_softmax_identically(rng, monkeypatch):
             jax.tree_util.tree_flatten_with_path(g0)[0]):
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
                                    rtol=1e-4, atol=1e-5, err_msg=str(p1))
+
+
+def test_down_bridge_w_pre_exact(rng):
+    """down_bridge_w_pre == down_bridge of relu(x*s + t): forward, stats,
+    and gradients through x, s, t, k, b."""
+    from vae_segmentation_tpu.ops import s2d
+    from vae_segmentation_tpu.ops.pallas.upbridge import (down_bridge_w,
+                                                          down_bridge_w_pre)
+
+    c, o = 4, 4
+    cl = 16 * c
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4, cl)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(2, cl)) * 0.5 + 1.0, jnp.float32)
+    t = jnp.asarray(rng.normal(size=(2, cl)) * 0.2, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 2, 2, c, o)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(o,)), jnp.float32)
+
+    def ref(xv, sv, tv, kv, bv):
+        xn = jnp.maximum(xv * sv[:, None, None, None, :]
+                         + tv[:, None, None, None, :], 0.0)
+        return down_bridge_w(xn, kv, bv)
+
+    want = ref(x, s, t, k, b)
+    got = down_bridge_w_pre(x, s, t, k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    got_s, st = down_bridge_w_pre(x, s, t, k, b, True)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(got))
+    np.testing.assert_allclose(
+        np.asarray(st[:, 0]), np.asarray(jnp.sum(want, axis=(1, 2, 3))),
+        rtol=1e-5, atol=1e-4)
+
+    def loss(f):
+        return lambda *a: jnp.sum(jnp.sin(f(*a)))
+
+    gw = jax.grad(loss(ref), argnums=(0, 1, 2, 3, 4))(x, s, t, k, b)
+    gg = jax.grad(loss(down_bridge_w_pre),
+                  argnums=(0, 1, 2, 3, 4))(x, s, t, k, b)
+    for a, bb, name in zip(gg, gw, ["x", "s", "t", "k", "b"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+    # stats-path gradient
+    def loss_stats(xv, sv, tv):
+        y, stv = down_bridge_w_pre(xv, sv, tv, k, b, True)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(stv[:, 1] * 0.01)
+
+    def loss_stats_ref(xv, sv, tv):
+        y = ref(xv, sv, tv, k, b)
+        return (jnp.sum(jnp.sin(y))
+                + jnp.sum(jnp.sum(y.astype(jnp.float32) ** 2,
+                                  axis=(1, 2, 3)) * 0.01))
+
+    gw = jax.grad(loss_stats_ref, argnums=(0, 1, 2))(x, s, t)
+    gg = jax.grad(loss_stats, argnums=(0, 1, 2))(x, s, t)
+    for a, bb, name in zip(gg, gw, "xst"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=2e-4, err_msg=name)

@@ -155,6 +155,31 @@ def bridge_shard_wrap(fn):
     return dispatch
 
 
+def bridge_shard_wrap_pre(fn):
+    """bridge_shard_wrap for the prologue Down bridge (x, s, t, k, b):
+    s/t are per-(batch, lane) affines — sharded over 'data'. No halos
+    (plane-pair local), same ragged fallback."""
+    if _STENCIL_MESH is None:
+        return fn
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _STENCIL_MESH
+    n_data = mesh.shape["data"]
+    n_sp = mesh.shape.get("spatial", 1)
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("data", "spatial"), P("data"), P("data"), P(), P()),
+        out_specs=P("data", "spatial"), check_vma=False)
+
+    def dispatch(x, sc, sh, k, b):
+        if x.shape[0] % n_data != 0 or x.shape[1] % (2 * n_sp) != 0:
+            return fn(x, sc, sh, k, b)
+        return sharded(x, sc, sh, k, b)
+
+    return dispatch
+
+
 def stencil_shard_wrap_pre(fn, stats: bool = False):
     """stencil_shard_wrap for the fused-prologue ops (x, scale, shift, k,
     b): scale/shift are per-(batch, channel) [B, C] — sharded over 'data',
@@ -490,7 +515,8 @@ class Conv3(nn.Module):
                        jnp.float32)
         xd = x.astype(self.dtype)
         if pre is not None:
-            assert self.mode in ("normal", "folded"), self.mode
+            assert self.mode in ("normal", "folded", "fold_bridge"), \
+                self.mode
         # want_stats: ALSO return the output's [B, 2, Cout] f32 (sum,
         # sumsq) — (y, stats) with stats None when the taken path can't
         # provide them (XLA conv, spatial mesh). Kernel-emitted stats save
@@ -603,11 +629,21 @@ class Conv3(nn.Module):
                 # Pallas bridge — XLA lowers the block-sparse stride-2
                 # conv in a channel-minor layout and pays copy fixups
                 # around the stencil consumers (ops/pallas/upbridge.py)
-                from vae_segmentation_tpu.ops.pallas.upbridge import \
-                    down_bridge_w
+                from vae_segmentation_tpu.ops.pallas.upbridge import (
+                    down_bridge_w, down_bridge_w_pre)
 
+                if pre is not None:
+                    # the producing stage's final norm+relu rides in as
+                    # the bridge prologue (no materialized normalize pass)
+                    return ret(bridge_shard_wrap_pre(down_bridge_w_pre)(
+                        xd, pre[0], pre[1], k.astype(self.dtype), b))
                 return ret(bridge_shard_wrap(down_bridge_w)(
                     xd, k.astype(self.dtype), b))
+            if pre is not None:  # XLA fallback: apply the affine first
+                xd = jnp.maximum(
+                    xd * pre[0].astype(self.dtype)[:, None, None, None, :]
+                    + pre[1].astype(self.dtype)[:, None, None, None, :],
+                    0.0)
             kd = s2d.expand_down_fold_kernel_w(k) if self.wpack \
                 else s2d.expand_down_fold_kernel(k)
             y = jax.lax.conv_general_dilated(
@@ -731,9 +767,16 @@ class ConvNormAct(nn.Module):
     folded: bool = False
     fold_input: bool = False  # raw input, fused fold (s2d.fold_conv)
     wpack: bool = False
+    # return (conv_out, (scale, shift)) with the norm+relu UNapplied — the
+    # consumer (the Down bridge prologue) applies it; the normalized
+    # tensor never materializes. norm_type 1, not soft, only.
+    defer_affine: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from vae_segmentation_tpu.ops import s2d
+
+        defer_affine = self.defer_affine
         mode = "fold_input" if self.fold_input else (
             "folded" if self.folded else "normal")
         conv = Conv3(self.features, dtype=self.dtype, mode=mode,
@@ -745,10 +788,25 @@ class ConvNormAct(nn.Module):
                 # reduce pass over the conv output
                 scale, shift = affine_from_stats(
                     st, math.prod(x.shape[1:4]), self.features)
+            elif defer_affine:
+                scale, shift = (
+                    s2d.instance_norm_folded_affine(x, self.features)
+                    if (self.folded or self.fold_input)
+                    else instance_norm_affine(x))
+            else:
+                scale = None
+            if defer_affine:
+                # norm+relu to be applied by the CONSUMER (the Down
+                # bridge prologue) — the normalized tensor never
+                # materializes. Only valid for norm_type 1 without soft.
+                assert not self.soft
+                return x, (scale, shift)
+            if st is not None:
                 return _act(self.soft)(
                     x * scale.astype(x.dtype)[:, None, None, None, :]
                     + shift.astype(x.dtype)[:, None, None, None, :])
         else:
+            assert not defer_affine
             x = conv(x)
         fc = self.features if (self.folded or self.fold_input) else 0
         return _norm_act(x, self.norm_type, self.soft, folded_c=fc)
@@ -827,17 +885,20 @@ class Down(nn.Module):
     wpack_in: bool = False  # the folded input is W-PACKED (s2d.fold_w)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre=None):
         from vae_segmentation_tpu.ops import s2d
 
         pack = s2d.NB * (s2d.WPACK if self.wpack_in else 1)
         in_ch = x.shape[-1] // (pack if self.folded_in else 1)
+        assert pre is None or (self.folded_in and self.folded_out)
         if self.folded_in and self.folded_out:
             # folded -> folded: one stride-2 conv in folded space, no
-            # unfold/fold transposes at the boundary (s2d fold_bridge)
+            # unfold/fold transposes at the boundary (s2d fold_bridge);
+            # pre: the producer's deferred norm+relu affine rides in as
+            # the bridge prologue
             x = Conv3(in_ch, kernel=(2, 2, 2), strides=(2, 2, 2),
                       padding="VALID", dtype=self.dtype,
-                      mode="fold_bridge", wpack=self.wpack_in)(x)
+                      mode="fold_bridge", wpack=self.wpack_in)(x, pre=pre)
         else:
             x = Conv3(in_ch, kernel=(2, 2, 2), strides=(2, 2, 2),
                       padding="VALID", dtype=self.dtype,

@@ -62,7 +62,8 @@ class SegUNet(nn.Module):
         RDown = remat_stage(Down, self.remat)
         RUp = remat_stage(Up, self.remat)
         kw = dict(norm_type=self.norm_type, dtype=self.dtype)
-        self.in_block = CNA(f[0], fold_input=fold, wpack=wp, **kw)
+        self.in_block = CNA(f[0], fold_input=fold, wpack=wp,
+                            defer_affine=fold, **kw)
         self.down1 = RDown(f[1], folded_in=fold, folded_out=fold,
                            wpack_in=wp, **kw)
         # the 32^3-logical stage folds too (16^3 x 8*f[2] lanes): unfolded
@@ -86,8 +87,15 @@ class SegUNet(nn.Module):
         def drop(h):
             return mc_dropout(self, h, dropout)
 
-        x1 = self.in_block(x)  # fold fused into the entry conv when fold
-        x2 = self.down1(x1)    # folded rep at half res when fold
+        if fold:
+            # the entry stage's final norm+relu defers into the down1
+            # bridge prologue: the normalized full-res tensor never
+            # materializes (blocks.ConvNormAct defer_affine)
+            x1, aff1 = self.in_block(x)
+            x2 = self.down1(x1, pre=aff1)
+        else:
+            x1 = self.in_block(x)  # fold fused into the entry conv
+            x2 = self.down1(x1)    # folded rep at half res when fold
         x3 = self.down2(x2)
         x4 = self.down3(x3)
         x5 = self.down4(x4)

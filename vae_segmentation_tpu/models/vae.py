@@ -84,7 +84,8 @@ class ShapeVAE(nn.Module):
         kw = dict(norm_type=self.norm_type, soft=self.soft, dtype=self.dtype)
         self.in_block = CNA(f[0], folded=fold and self.folded_io,
                             fold_input=fold and not self.folded_io,
-                            wpack=wp, **kw)
+                            wpack=wp, defer_affine=fold and not self.soft,
+                            **kw)
         self.down1 = RDown(f[1], folded_in=fold, folded_out=fold,
                            wpack_in=wp, **kw)
         # 32^3-logical stage folded too (16^3 x 8*f[2] lanes) — see SegUNet
@@ -108,8 +109,14 @@ class ShapeVAE(nn.Module):
         """One-hot mask -> (mean, std), std >= 0 (joint_model.py:235-243).
         With folded_io the input is already the s2d rep; otherwise the fold
         is fused into the entry conv."""
-        x = self.in_block(x)
-        x = self.down1(x)
+        fold = self._s2d() and self.norm_type == 1
+        if fold and not self.soft:
+            # entry norm+relu deferred into the down1 bridge prologue
+            x, aff = self.in_block(x)
+            x = self.down1(x, pre=aff)
+        else:
+            x = self.in_block(x)
+            x = self.down1(x)
         x = self.down2(x)
         x = self.down3(x)
         x = self.down4(x)

@@ -404,3 +404,216 @@ def _down_bwd_vjp(stats, res, g):
 
 
 down_bridge_w.defvjp(_down_fwd_vjp, _down_bwd_vjp)
+
+
+# ---------------------------------------------------------------------------
+# Down bridge with a fused InstanceNorm+ReLU PROLOGUE: the encoder stage
+# boundary in_block -> down1 has no dropout or skip between the stage-final
+# norm and the stride-2 bridge conv, so the norm's affine can ride into the
+# bridge kernel (relu(x*s + t) applied at plane load) instead of
+# materializing the normalized full-res tensor. Backward mirrors
+# stencil3's pre machinery: the dx kernel pushes the cotangent through the
+# relu mask and accumulates ds/dt in-kernel.
+# ---------------------------------------------------------------------------
+
+
+def _down_fwd_pre_kernel(x_ref, s_ref, t_ref, m_ref, b_ref, o_ref, *,
+                         hg: int, wg: int, cin2: int, lout: int,
+                         stats: bool, st_ref=None):
+    c8 = cin2 // 2
+    acc = None
+    for dd in range(2):
+        xn = jnp.maximum(x_ref[0, dd] * s_ref[0] + t_ref[0], 0.0) \
+            .astype(x_ref.dtype)
+        xr = xn.reshape(hg // 2, 2, wg, cin2)
+        for dh in range(2):
+            xp = xr[:, dh].reshape((hg // 2) * wg, cin2)
+            for dw in range(2):
+                part = jax.lax.dot_general(
+                    xp[:, dw * c8:(dw + 1) * c8],
+                    m_ref[(dd * 2 + dh) * 2 + dw],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+    acc = acc + b_ref[0:1, :]
+    oc = acc.reshape(hg // 2, wg, lout).astype(o_ref.dtype)
+    o_ref[0, 0] = oc
+    if stats:
+        o32 = oc.reshape((hg // 2) * wg, lout).astype(jnp.float32)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            st_ref[...] = jnp.zeros_like(st_ref)
+
+        st_ref[0, 0:1, :] += jnp.sum(o32, axis=0, keepdims=True)
+        st_ref[0, 1:2, :] += jnp.sum(o32 * o32, axis=0, keepdims=True)
+
+
+def _down_bwd_pre_kernel(x_ref, s_ref, t_ref, g_ref, m_ref, dx_ref, dk_ref,
+                         db_ref, dst_ref, acc_ref, dbacc_ref, dstacc_ref, *,
+                         hg: int, wg: int, cin2: int, lout: int, n: int):
+    step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        dbacc_ref[...] = jnp.zeros_like(dbacc_ref)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dstacc_ref[...] = jnp.zeros_like(dstacc_ref)
+
+    c8 = cin2 // 2
+    g = g_ref[0, 0].reshape((hg // 2) * wg, lout)
+    dbacc_ref[0:1, :] += jnp.sum(g.astype(jnp.float32), axis=0,
+                                 keepdims=True)
+    s32 = s_ref[0].astype(jnp.float32)
+    t32 = t_ref[0].astype(jnp.float32)
+    for dd in range(2):
+        x_raw = x_ref[0, dd]                                  # [Hg, Wg, C]
+        xn = jnp.maximum(x_raw * s_ref[0] + t_ref[0], 0.0) \
+            .astype(x_ref.dtype)
+        xr = xn.reshape(hg // 2, 2, wg, cin2)
+        parts = []
+        for dh in range(2):
+            xp = xr[:, dh].reshape((hg // 2) * wg, cin2)
+            halves = []
+            for dw in range(2):
+                dl = (dd * 2 + dh) * 2 + dw
+                halves.append(jax.lax.dot_general(
+                    g, m_ref[dl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                acc_ref[dl] += jax.lax.dot_general(
+                    xp[:, dw * c8:(dw + 1) * c8], g,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            gxn = jnp.concatenate(halves, axis=1)  # [hw, 2*8C]
+            parts.append(gxn.reshape(hg // 2, 1, wg, cin2))
+        gxn_plane = jnp.concatenate(parts, axis=1).reshape(hg, wg, cin2)
+        # prologue backward: gm = 1[x*s+t > 0] * gxn; dx = gm * s;
+        # ds += sum(gm * x); dt += sum(gm)
+        x32 = x_raw.astype(jnp.float32)
+        gm = jnp.where(x32 * s32 + t32 > 0, gxn_plane, 0.0)
+        dx_ref[0, dd] = (gm * s32).astype(dx_ref.dtype)
+        gm2 = gm.reshape(hg * wg, cin2)
+        dstacc_ref[0, 0:1, :] += jnp.sum(
+            gm2 * x32.reshape(hg * wg, cin2), axis=0, keepdims=True)
+        dstacc_ref[0, 1:2, :] += jnp.sum(gm2, axis=0, keepdims=True)
+
+    @pl.when(step == n - 1)
+    def _():
+        dk_ref[...] = acc_ref[...]
+        db_ref[...] = dbacc_ref[...]
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        dst_ref[...] = dstacc_ref[...]
+
+
+def _run_down_fwd_pre(x, s, t, m, bias, stats):
+    b, d, hg, wg, cin2 = x.shape
+    lout = m.shape[-1]
+    xs, os = _down_specs(hg, wg, cin2, lout)
+    aff = pl.BlockSpec((1, 1, cin2), lambda bi, i: (bi, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out_specs, out_shape = os, jax.ShapeDtypeStruct(
+        (b, d // 2, hg // 2, wg, lout), x.dtype)
+    if stats:
+        out_specs = (os, pl.BlockSpec((1, 2, lout),
+                                      lambda bi, i: (bi, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b, 2, lout), jnp.float32))
+
+    def kern(x_ref, s_ref, t_ref, m_ref, b_ref, *outs):
+        _down_fwd_pre_kernel(x_ref, s_ref, t_ref, m_ref, b_ref, outs[0],
+                             hg=hg, wg=wg, cin2=cin2, lout=lout,
+                             stats=stats, st_ref=outs[1] if stats else None)
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, d // 2),
+        in_specs=[xs, aff, aff, pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(x, s.astype(x.dtype)[:, None, :], t.astype(x.dtype)[:, None, :],
+      m.astype(x.dtype), bias.reshape(1, -1).astype(jnp.float32))
+
+
+def _run_down_bwd_pre(x, s, t, gy, m):
+    b, d, hg, wg, cin2 = x.shape
+    lout = m.shape[-1]
+    xs, os = _down_specs(hg, wg, cin2, lout)
+    aff = pl.BlockSpec((1, 1, cin2), lambda bi, i: (bi, 0, 0),
+                       memory_space=pltpu.VMEM)
+    dx, dk, db, dst = pl.pallas_call(
+        functools.partial(_down_bwd_pre_kernel, hg=hg, wg=wg, cin2=cin2,
+                          lout=lout, n=b * (d // 2)),
+        grid=(b, d // 2),
+        in_specs=[xs, aff, aff, os, pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, 2, hg, wg, cin2),
+                                lambda bi, i: (bi, i, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, cin2 // 2, lout),
+                                lambda bi, i: (0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, lout), lambda bi, i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 2, cin2), lambda bi, i: (bi, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, d, hg, wg, cin2), x.dtype),
+                   jax.ShapeDtypeStruct((8, cin2 // 2, lout), jnp.float32),
+                   jax.ShapeDtypeStruct((1, lout), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 2, cin2), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((8, cin2 // 2, lout), jnp.float32),
+                        pltpu.VMEM((1, lout), jnp.float32),
+                        pltpu.VMEM((1, 2, cin2), jnp.float32)],
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(x, s.astype(x.dtype)[:, None, :], t.astype(x.dtype)[:, None, :],
+      gy, m.astype(x.dtype))
+    return dx, dk, db.reshape(lout), dst
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def down_bridge_w_pre(x: jax.Array, s: jax.Array, t: jax.Array,
+                      k: jax.Array, bias: jax.Array, stats: bool = False):
+    """down_bridge_w with the fused InstanceNorm+ReLU prologue:
+    == down_bridge_w(relu(x * s[:, None..] + t), k, bias). s/t: [B, CL]
+    per-(batch, lane) affine of the producing stage's final norm."""
+    out, _ = _down_pre_fwd_vjp(x, s, t, k, bias, stats)
+    return out
+
+
+def _down_pre_fwd_vjp(x, s, t, k, bias, stats):
+    from vae_segmentation_tpu.ops import s2d
+
+    m = _down_routing(k)
+    out = _run_down_fwd_pre(x, s, t, m, jnp.tile(bias, s2d.NB), stats)
+    y = out[0] if stats else None
+    return out, (x, s, t, k, y)
+
+
+def _down_pre_bwd_vjp(stats, res, g):
+    from vae_segmentation_tpu.ops import s2d
+    from vae_segmentation_tpu.ops.pallas.stencil3 import _stats_cotangent
+
+    x, s, t, k, y = res
+    c, o = k.shape[3], k.shape[4]
+    m = _down_routing(k)
+    gy = _stats_cotangent(y, g[0], g[1]) if stats else g
+    dx, dkm, db, dst = _run_down_bwd_pre(x, s, t, gy, m)
+    kflat_ct = sum(dkm[dl, :, dl * o:(dl + 1) * o] for dl in range(8))
+    _, vjp = jax.vjp(lambda kk: s2d.expand_down_kernel(kk).reshape(8 * c, o),
+                     k)
+    dk, = vjp(kflat_ct.astype(k.dtype))
+    db_orig = db.reshape(s2d.NB, o).sum(0)
+    return (dx.astype(x.dtype), dst[:, 0].astype(s.dtype),
+            dst[:, 1].astype(t.dtype), dk.astype(k.dtype),
+            db_orig.astype(jnp.float32))
+
+
+down_bridge_w_pre.defvjp(_down_pre_fwd_vjp, _down_pre_bwd_vjp)

@@ -83,6 +83,16 @@ def build():
                         dtype=jnp.float32)
     label = jnp.asarray(rng.random((BATCH, SIDE, SIDE, SIDE)) > 0.9,
                         dtype=jnp.float32)
+    if fold:
+        # The trainer's ingest emits the space-to-depth rep (the fold
+        # fuses into the augmentation gather there — cli/common
+        # _train_ingest); the bench inputs arrive prefolded the same way.
+        from vae_segmentation_tpu.models.blocks import stage_wpack
+        from vae_segmentation_tpu.ops import s2d
+
+        wp = stage_wpack(model.fmaps)
+        image = s2d.fold_rep(image[..., None], wp)
+        label = s2d.fold_rep(label.astype(jnp.bfloat16)[..., None], wp)
     return step, state, teacher, image, label, sched
 
 

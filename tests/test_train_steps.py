@@ -120,6 +120,64 @@ def test_adapt_step_runs_and_vae_frozen(joint_setup):
                         jax.tree.leaves(state.params["Seg"])))
 
 
+def test_adapt_step_prefolded_ingest_parity(monkeypatch):
+    """The folded adapt step accepts ingest-PREFOLDED image/label (the 5-D
+    s2d rep cli/common._train_ingest emits with fold>0) and computes the
+    same metrics and parameter update as the raw step-entry-fold contract
+    (the reorg just moves from the step into the ingest jit)."""
+    monkeypatch.setenv("VAESEG_S2D", "1")
+    from vae_segmentation_tpu.models.blocks import stage_wpack
+    from vae_segmentation_tpu.ops import s2d
+
+    model = Joint(n_class=2, dim=8, fmaps=FMAPS, bottleneck=BOT,
+                  dtype=jnp.float32, seg_dropout=0.0,
+                  vae_decoder_dropout=0.0, folded_io=True)
+    img, lab = _blob_batch()
+    params = model.init({"params": KEY, "reparam": KEY},
+                        img[..., None])["params"]
+    tx = optim.freeze_vae(optim.sgd(0.05), params)
+    cfg = AdaptConfig(n_class=2, domain_loss_type=8, folded=True)
+    step = make_adapt_step(model, model, tx, cfg)
+    sched = default_sched(1.0)
+    teacher = clone(params)
+
+    state0, m0 = step(init_state(clone(params), tx), teacher, img, lab,
+                      KEY, sched)
+    wp = stage_wpack(FMAPS)
+    img_f = s2d.fold_rep(img[..., None], wp)
+    lab_f = s2d.fold_rep(lab.astype(jnp.bfloat16)[..., None], wp)
+    state1, m1 = step(init_state(clone(params), tx), teacher, img_f,
+                      lab_f, KEY, sched)
+
+    for k in m0:
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m0[k]),
+                                   rtol=2e-5, atol=1e-6, err_msg=k)
+    for (p1, l1), (_, l0) in zip(
+            jax.tree_util.tree_flatten_with_path(state1.params)[0],
+            jax.tree_util.tree_flatten_with_path(state0.params)[0]):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-4, atol=1e-6, err_msg=str(p1))
+
+
+def test_train_ingest_fold_emission(monkeypatch):
+    """_train_ingest(fold=k) output == fold_rep of the raw ingest output
+    (same warp, same normalize — the fold is a pure layout emission)."""
+    from vae_segmentation_tpu.cli.common import _train_ingest
+    from vae_segmentation_tpu.ops import s2d
+
+    img, lab = _blob_batch()
+    key = jax.random.PRNGKey(3)
+    raw_i, raw_l = _train_ingest(img, lab, key, (D, D, D), False)
+    for fold, wp in ((1, False), (2, True)):
+        fi, fl = _train_ingest(img, lab, key, (D, D, D), False, 1, fold)
+        np.testing.assert_array_equal(
+            np.asarray(fi), np.asarray(s2d.fold_rep(raw_i[..., None], wp)))
+        np.testing.assert_array_equal(
+            np.asarray(fl),
+            np.asarray(s2d.fold_rep(raw_l.astype(jnp.bfloat16)[..., None],
+                                    wp)))
+
+
 def test_finetune_step_runs(joint_setup):
     model, img, lab, params = joint_setup
     tx = optim.freeze_vae(optim.sgd(0.01, momentum=0.0), params)

@@ -81,13 +81,28 @@ def bottleneck_for(patch_size, top_fmaps: int = 256) -> int:
 # device-side ingest
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("patch_size", "no_aug", "aug_order"))
-def _train_ingest(image, label, key, patch_size, no_aug, aug_order=1):
+@partial(jax.jit, static_argnames=("patch_size", "no_aug", "aug_order",
+                                   "fold"))
+def _train_ingest(image, label, key, patch_size, no_aug, aug_order=1,
+                  fold=0):
     if not no_aug:
         image, label = augment.spatial_augment(image, label, key,
                                                patch_size=patch_size,
                                                order=aug_order)
-    return augment.intensity_normalize(image), label
+    image = augment.intensity_normalize(image)
+    if fold:
+        # Emit the space-to-depth rep directly (fold=1 plain, fold=2
+        # W-PACKED): inside this jit the fold reorg fuses with the
+        # augmentation gather's output indexing, instead of running as a
+        # standalone step-entry copy (~4.3 ms/step in the round-3 trace).
+        # The train steps and entry convs detect the prefolded rep by
+        # shape (train/steps._folded_onehot, models/blocks.Conv3).
+        from vae_segmentation_tpu.ops import s2d
+
+        image = s2d.fold_rep(image[..., None], fold == 2)
+        label = s2d.fold_rep(label.astype(jnp.bfloat16)[..., None],
+                             fold == 2)
+    return image, label
 
 
 @jax.jit
@@ -95,17 +110,21 @@ def _val_ingest(image):
     return augment.intensity_normalize(image)
 
 
-def make_train_ingest(cfg: CommonConfig) -> Callable:
+def make_train_ingest(cfg: CommonConfig, fold: int = 0) -> Callable:
     """(image, label, key) -> (image_norm, label), jit-compiled: random
     affine warp (unless --no_aug) + clip/center normalization — the
     device-side replacement of MySpatialTransform + Clip + CenterIntensities
-    (main_source.py:197-212)."""
+    (main_source.py:197-212).
+
+    fold: 0 raw, 1/2 emit the (W-packed) space-to-depth rep for steps on
+    the folded pipeline — must match the model's rep
+    (models.blocks.stage_wpack)."""
     patch = tuple(cfg.patch_size)
     aug_order = getattr(cfg, "aug_order", 1)
 
     def ingest(image, label, key):
         return _train_ingest(image, label, key, patch, cfg.no_aug,
-                             aug_order)
+                             aug_order, fold)
 
     return ingest
 

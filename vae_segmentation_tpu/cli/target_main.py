@@ -241,6 +241,14 @@ def run(cfg: TargetConfig) -> float:
 
     # ---- compiled steps
     ingest = common.make_train_ingest(cfg)
+    if m == "domain_adaptation" and fold_active and cfg.pseudo_list is None:
+        # the folded adapt step consumes ingest-prefolded tensors (the fold
+        # reorg fuses into the augmentation gather; BENCH.md round 4). The
+        # --pseudo_list replay shares the ingest with an unfolded seg step,
+        # so those runs keep the raw contract.
+        from vae_segmentation_tpu.models.blocks import stage_wpack
+        ingest = common.make_train_ingest(
+            cfg, fold=2 if stage_wpack(model.fmaps) else 1)
     acfg = _adapt_cfg(cfg, n_class)
     finetune_step = None
     eval_step = None

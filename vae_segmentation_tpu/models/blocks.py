@@ -504,8 +504,18 @@ class Conv3(nn.Module):
         from vae_segmentation_tpu.ops import s2d
 
         pack = s2d.WPACK if self.wpack else 1
+        mode = self.mode
         in_ch = x.shape[-1]
-        if self.mode in ("folded", "fold_consume", "fold_bridge"):
+        if mode == "fold_input" and in_ch % (s2d.NB * pack) == 0:
+            # Ingest-prefolded dispatch: the device ingest pipeline may hand
+            # the entry conv the ALREADY-folded rep (cli/common._train_ingest
+            # emits it so the fold reorg fuses into the augmentation gather
+            # instead of running as a standalone copy at step entry). The
+            # lane count is then a multiple of the pack; raw entry channel
+            # counts (1-channel CT, n_class one-hots) sit far below it, so
+            # divisibility decides the rep unambiguously.
+            mode = "folded"
+        if mode in ("folded", "fold_consume", "fold_bridge"):
             in_ch = in_ch // (s2d.NB * pack)  # params keep the UNfolded shape
         kshape = (*self.kernel, in_ch, self.features)
         fan_in = math.prod(self.kernel) * in_ch
@@ -515,8 +525,7 @@ class Conv3(nn.Module):
                        jnp.float32)
         xd = x.astype(self.dtype)
         if pre is not None:
-            assert self.mode in ("normal", "folded", "fold_bridge"), \
-                self.mode
+            assert mode in ("normal", "folded", "fold_bridge"), mode
         # want_stats: ALSO return the output's [B, 2, Cout] f32 (sum,
         # sumsq) — (y, stats) with stats None when the taken path can't
         # provide them (XLA conv, spatial mesh). Kernel-emitted stats save
@@ -540,7 +549,7 @@ class Conv3(nn.Module):
                 + t_[:, None, None, None, :].astype(self.dtype),
                 jnp.zeros((), self.dtype))
 
-        if self.mode == "normal":
+        if mode == "normal":
             if use_stencil() and tuple(self.kernel) == (3, 3, 3) \
                     and tuple(self.strides) == (1, 1, 1) \
                     and self.padding == "SAME" and in_ch >= 32 \
@@ -564,7 +573,7 @@ class Conv3(nn.Module):
                 pre_xla(xd), k.astype(self.dtype), tuple(self.strides),
                 self.padding,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        elif self.mode == "folded":
+        elif mode == "folded":
             ke = s2d.expand_kernel3_fast(k)
             if self.wpack:
                 ke = s2d.expand_kernel_w(ke)
@@ -622,7 +631,7 @@ class Conv3(nn.Module):
                 pre_xla(xd), ke.astype(self.dtype), (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
             return ret(y + bias_f.astype(self.dtype))
-        elif self.mode == "fold_bridge":
+        elif mode == "fold_bridge":
             # folded fine in -> folded coarse out, ONE stride-2 conv
             # (s2d.expand_down_fold_kernel): no unfold/fold reorg
             if self.wpack and use_stencil():
@@ -651,7 +660,7 @@ class Conv3(nn.Module):
                 (2, 2, 1) if self.wpack else (2, 2, 2), "VALID",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
             return ret(y + jnp.tile(b, s2d.NB).astype(self.dtype))
-        elif self.mode == "fold_consume":
+        elif mode == "fold_consume":
             kd = s2d.expand_down_kernel_w(k) if self.wpack \
                 else s2d.expand_down_kernel(k)
             y = jax.lax.conv_general_dilated(
@@ -660,7 +669,7 @@ class Conv3(nn.Module):
             # wpack: output is the W-PAIRED coarse tensor (two coarse voxels
             # per position in channels); the Down module un-pairs it.
             return ret(y + jnp.tile(b, pack).astype(self.dtype))
-        elif self.mode == "fold_input":
+        elif mode == "fold_input":
             if use_stencil() and (xd.shape[3] // (2 * pack)) % 8 == 0:
                 # fold the RAW input first (a cheap reorg of the 1-channel
                 # volume) and run the entry conv as a folded stencil conv —
@@ -684,7 +693,7 @@ class Conv3(nn.Module):
                 y = s2d.fold_w(y)
             return ret(y + jnp.tile(b, s2d.NB * pack).astype(self.dtype))
         else:
-            raise ValueError(self.mode)
+            raise ValueError(mode)
         return ret(y + b.astype(self.dtype))
 
 

@@ -46,13 +46,20 @@ def _folded_onehot(label: jax.Array, n_class: int,
     """fold(one_hot(label)) computed the cheap way: fold the integer label
     volume (33 MB, not the 1 GB one-hot) then one-hot into a 6D view
     [B, D/2, H/2, W/2, P, C] (P = 8, or 16 in the W-PACKED production rep —
-    must match the model's folded output layout element-for-element)."""
-    # bf16 before the fold: class ids are small ints (exact in bf16) and
-    # the fold is a layout transpose — half the bytes of the f32 fold
-    lab_f = s2d.fold(label.astype(jnp.bfloat16)[..., None])
-    # [B, D/2, H/2, W/2, 8]
-    if wpack:
-        lab_f = s2d.fold_w(lab_f)       # [B, D/2, H/2, W/4, 16]
+    must match the model's folded output layout element-for-element).
+
+    A 5-D label is the ingest-PREFOLDED rep (cli/common._train_ingest
+    emits it so the fold reorg fuses into the augmentation gather instead
+    of running as a step-entry copy); only the one-hot compare remains."""
+    if label.ndim == 5:
+        lab_f = label.astype(jnp.bfloat16)
+    else:
+        # bf16 before the fold: class ids are small ints (exact in bf16)
+        # and the fold is a layout transpose — half the bytes of f32
+        lab_f = s2d.fold(label.astype(jnp.bfloat16)[..., None])
+        # [B, D/2, H/2, W/2, 8]
+        if wpack:
+            lab_f = s2d.fold_w(lab_f)   # [B, D/2, H/2, W/4, 16]
     # float equality compare, not one_hot: the int32 cast materializes s32
     # copies of the folded volume with layout fixes (losses.one_hot_label)
     classes = jnp.arange(n_class, dtype=lab_f.dtype)
@@ -431,7 +438,9 @@ def make_adapt_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig, *,
 
     def step(state: TrainState, teacher_params, image, label, key,
              sched: Dict[str, jax.Array]):
-        img = image[..., None]
+        # a 5-D image is the ingest-prefolded s2d rep (see _folded_onehot);
+        # the entry convs consume it directly (models/blocks.Conv3)
+        img = image if image.ndim == 5 else image[..., None]
         onehot = _folded_onehot(label, cfg.n_class, wp) if cfg.folded \
             else L.one_hot_label(label, cfg.n_class)
         t_pred, t_mean, t_std = _teacher_forward(teacher, teacher_params, img,
@@ -507,7 +516,7 @@ def make_finetune_step(model: Joint, teacher: Joint, tx, cfg: AdaptConfig):
 
     def step(state: TrainState, teacher_params, image, label, key,
              sched: Dict[str, jax.Array]):
-        img = image[..., None]
+        img = image if image.ndim == 5 else image[..., None]
         onehot = _folded_onehot(label, cfg.n_class, wp) if cfg.folded \
             else L.one_hot_label(label, cfg.n_class)
         t_pred, t_mean, t_std = _teacher_forward(teacher, teacher_params, img,

@@ -352,6 +352,58 @@ def test_out_conv_fused_softmax_identically(rng, monkeypatch):
                                    rtol=1e-4, atol=1e-5, err_msg=str(p1))
 
 
+def test_folded_softmax_pre_exact(rng):
+    """conv3_stencil_folded_softmax_pre == softmax_folded(conv(relu(x*s+t)))
+    — forward and gradients through x, s, t, k, b."""
+    from vae_segmentation_tpu.ops import s2d
+    from vae_segmentation_tpu.ops.pallas.stencil3 import (
+        conv3_stencil_folded_softmax_pre)
+
+    nc, cin_l = 2, 2
+    kf = jnp.asarray(rng.normal(size=(3, 3, 3, cin_l, nc)) * 0.4,
+                     jnp.float32)
+    ke = s2d.expand_kernel_w(s2d.expand_kernel3_fast(kf))
+    cl = 16 * cin_l
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, cl)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(1, cl)) * 0.5 + 1.0, jnp.float32)
+    t = jnp.asarray(rng.normal(size=(1, cl)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(16 * nc,)), jnp.float32)
+
+    def expand(kfv):
+        return s2d.expand_kernel_w(s2d.expand_kernel3_fast(kfv))
+
+    def ref(xv, sv, tv, kfv, bv):
+        xn = jnp.maximum(xv * sv[:, None, None, None, :]
+                         + tv[:, None, None, None, :], 0.0)
+        y = jax.lax.conv_general_dilated(
+            xn, expand(kfv), (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bv
+        return s2d.softmax_folded(y.astype(jnp.float32), nc)
+
+    def fused(xv, sv, tv, kfv, bv):
+        return conv3_stencil_folded_softmax_pre(xv, sv, tv, expand(kfv),
+                                                bv, True, None, nc)
+
+    want = ref(x, s, t, kf, b)
+    got = fused(x, s, t, kf, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    w_arr = jnp.asarray(rng.normal(size=want.shape), jnp.float32)
+
+    def loss(f):
+        return lambda *a: jnp.sum(f(*a) * w_arr)
+
+    # k compared at the LOGICAL kernel (through the expansion VJP): the
+    # grouped dk is defined up to the fold-structure projection, exactly
+    # like the models' param chain
+    gw = jax.grad(loss(ref), argnums=(0, 1, 2, 3, 4))(x, s, t, kf, b)
+    gg = jax.grad(loss(fused), argnums=(0, 1, 2, 3, 4))(x, s, t, kf, b)
+    for a, bb, name in zip(gg, gw, ["x", "s", "t", "k", "b"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=2e-4, err_msg=name)
+
+
 def test_down_bridge_w_pre_exact(rng):
     """down_bridge_w_pre == down_bridge of relu(x*s + t): forward, stats,
     and gradients through x, s, t, k, b."""

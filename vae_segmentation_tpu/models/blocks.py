@@ -291,6 +291,17 @@ def affine_from_stats(st: jax.Array, n_spatial: int, c: int,
     return jnp.tile(rstd, (1, g)), jnp.tile(-mean * rstd, (1, g))
 
 
+def apply_affine_relu(x: jax.Array, aff) -> jax.Array:
+    """Apply a deferred norm affine + ReLU (the consumer-side fallback for
+    DoubleConv/Up/ConvNormAct.defer_affine when no kernel prologue can
+    take it — e.g. an active dropout between stage and head)."""
+    s, t = aff
+    return jnp.maximum(
+        x * s.astype(x.dtype)[:, None, None, None, :]
+        + t.astype(x.dtype)[:, None, None, None, :],
+        jnp.zeros((), x.dtype))
+
+
 def stencil_takes(shape, mode: str) -> bool:
     """Would Conv3 route a 3^3/s1/SAME conv on this input through the
     stencil kernel? Mirrors the conditions in Conv3.__call__ — used by
@@ -579,52 +590,54 @@ class Conv3(nn.Module):
                 ke = s2d.expand_kernel_w(ke)
             bias_f = jnp.tile(b, s2d.NB * pack)
             if use_stencil() and xd.shape[3] % 8 == 0:
+                # grouped-tap path: exploits the fold structure to merge
+                # the 27 tap-GEMMs into 8 (exact; stencil3.py). Taken for
+                # EVERY folded conv since round 4 — the old >=128-lane gate
+                # left the lane-starved folded convs (the 32-lane VAE entry
+                # on pred, the 16-lane prefolded image entry) on the 27-tap
+                # path, whose dx kernel alone cost 2.7 ms/step at b4 128^3
+                # (round-4 trace).
                 from vae_segmentation_tpu.ops.pallas.stencil3 import (
-                    conv3_stencil, conv3_stencil_folded,
-                    conv3_stencil_folded_pre, conv3_stencil_pre)
+                    conv3_stencil_folded, conv3_stencil_folded_pre)
 
-                if xd.shape[-1] >= 128:
-                    # grouped-tap path: exploits the fold structure to merge
-                    # the 27 tap-GEMMs into 8 (exact; stencil3.py)
-                    wp = self.wpack
-                    if softmax_classes and pre is None and not want:
-                        # fused head: conv + bias + class-group softmax in
-                        # the kernel epilogue (no logits/exp HBM round trip)
-                        from vae_segmentation_tpu.ops.pallas.stencil3 \
-                            import conv3_stencil_folded_softmax
+                wp = self.wpack
+                if softmax_classes and not want:
+                    # fused head: conv + bias + class-group softmax in
+                    # the kernel epilogue (no logits/exp HBM round trip);
+                    # with pre, the decoder chain's final norm+relu rides
+                    # in as the kernel prologue too
+                    from vae_segmentation_tpu.ops.pallas.stencil3 import (
+                        conv3_stencil_folded_softmax,
+                        conv3_stencil_folded_softmax_pre)
 
-                        nc = softmax_classes
-                        out = stencil_shard_wrap(
-                            lambda x_, k_, b_:
-                            conv3_stencil_folded_softmax(x_, k_, b_, wp,
-                                                         nc))(
-                            xd, ke.astype(self.dtype), bias_f)
-                        return ret(out)
+                    nc = softmax_classes
                     if pre is not None:
                         out = stencil_shard_wrap_pre(
                             lambda x_, s_, t_, k_, b_, dlim=None:
-                            conv3_stencil_folded_pre(x_, s_, t_, k_, b_, wp,
-                                                     dlim, want),
-                            stats=want)(
+                            conv3_stencil_folded_softmax_pre(
+                                x_, s_, t_, k_, b_, wp, dlim, nc))(
                             xd, pre[0], pre[1], ke.astype(self.dtype),
                             bias_f)
                     else:
                         out = stencil_shard_wrap(
                             lambda x_, k_, b_:
-                            conv3_stencil_folded(x_, k_, b_, wp, False,
-                                                 want),
-                            stats=want)(xd, ke.astype(self.dtype), bias_f)
-                    return unpack(out)
+                            conv3_stencil_folded_softmax(x_, k_, b_, wp,
+                                                         nc))(
+                            xd, ke.astype(self.dtype), bias_f)
+                    return ret(out)
                 if pre is not None:
                     out = stencil_shard_wrap_pre(
                         lambda x_, s_, t_, k_, b_, dlim=None:
-                        conv3_stencil_pre(x_, s_, t_, k_, b_, dlim, want),
+                        conv3_stencil_folded_pre(x_, s_, t_, k_, b_, wp,
+                                                 dlim, want),
                         stats=want)(
-                        xd, pre[0], pre[1], ke.astype(self.dtype), bias_f)
+                        xd, pre[0], pre[1], ke.astype(self.dtype),
+                        bias_f)
                 else:
                     out = stencil_shard_wrap(
                         lambda x_, k_, b_:
-                        conv3_stencil(x_, k_, b_, False, want),
+                        conv3_stencil_folded(x_, k_, b_, wp, False,
+                                             want),
                         stats=want)(xd, ke.astype(self.dtype), bias_f)
                 return unpack(out)
             y = jax.lax.conv_general_dilated(
@@ -831,6 +844,11 @@ class DoubleConv(nn.Module):
     dtype: Dtype = jnp.bfloat16
     folded: bool = False
     wpack: bool = False
+    # return (x, (scale, shift)) with the chain-FINAL norm+relu UNapplied —
+    # the consumer (a bridge/head conv prologue) applies it and the
+    # normalized stage-boundary tensor never materializes. norm_type 1,
+    # not soft, only (see ConvNormAct.defer_affine).
+    defer_affine: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -859,11 +877,19 @@ class DoubleConv(nn.Module):
                 x, st = conv(x, pre=pre), None
             pre = None
             n_spatial = math.prod(x.shape[1:4])
-            if i < 2 and fusable and stencil_takes(x.shape, mode):
+            defer = i == 2 and self.defer_affine and affinable \
+                and not self.soft
+            if (i < 2 and fusable and stencil_takes(x.shape, mode)) \
+                    or defer:
                 pre = affine_from_stats(st, n_spatial, self.features) \
                     if st is not None else (
                     s2d.instance_norm_folded_affine(x, self.features)
                     if self.folded else instance_norm_affine(x))
+                if defer:
+                    # chain-final norm+relu handed to the CONSUMER (a
+                    # bridge/head conv prologue); the normalized tensor
+                    # never materializes
+                    return x, pre
             elif st is not None:
                 scale, shift = affine_from_stats(st, n_spatial,
                                                  self.features)
@@ -937,6 +963,9 @@ class Up(nn.Module):
     folded_in: bool = False
     folded_out: bool = False
     wpack_out: bool = False  # the folded output rep is W-PACKED
+    # hand the stage-final norm+relu to the consumer as an unapplied
+    # (scale, shift): __call__ returns (x, aff) — DoubleConv.defer_affine
+    defer_affine: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -952,7 +981,8 @@ class Up(nn.Module):
                    wpack=self.wpack_out, fold_consume=bridge)(x)
         return DoubleConv(self.features, self.norm_type, self.soft,
                           dtype=self.dtype, folded=self.folded_out,
-                          wpack=self.wpack_out)(x)
+                          wpack=self.wpack_out,
+                          defer_affine=self.defer_affine)(x)
 
 
 def remat_stage(cls, enabled: bool = True):
@@ -983,15 +1013,16 @@ class OutConv(nn.Module):
     wpack: bool = False
 
     @nn.compact
-    def __call__(self, x, softmax_classes: int = 0):
+    def __call__(self, x, softmax_classes: int = 0, pre=None):
         from vae_segmentation_tpu.ops import s2d
 
         fused = bool(softmax_classes) and self.folded and use_stencil() \
-            and x.shape[3] % 8 == 0 and x.shape[-1] >= 128
+            and x.shape[3] % 8 == 0
         y = Conv3(self.features, dtype=self.dtype,
                   mode="folded" if self.folded else "normal",
                   wpack=self.wpack)(
-                      x, softmax_classes=softmax_classes if fused else 0)
+                      x, pre=pre,
+                      softmax_classes=softmax_classes if fused else 0)
         if not softmax_classes:
             return y.astype(jnp.float32)
         if fused:

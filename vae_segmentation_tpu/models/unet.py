@@ -74,8 +74,10 @@ class SegUNet(nn.Module):
         self.up2 = RUp(f[3], **kw)
         self.up3 = RUp(f[2], folded_out=fold, **kw)
         self.up4 = RUp(f[1], folded_in=fold, folded_out=fold, **kw)
+        # the decoder-final norm+relu defers into the head conv's kernel
+        # prologue (or is applied inline when head dropout is active)
         self.up5 = RUp(f[0], folded_in=fold, folded_out=fold,
-                       wpack_out=wp, **kw)
+                       wpack_out=wp, defer_affine=fold, **kw)
         self.out_block = OutConv(self.n_class, dtype=self.dtype, folded=fold,
                                  wpack=wp)
 
@@ -102,16 +104,26 @@ class SegUNet(nn.Module):
         h = drop(self.up2(x5))
         h = drop(self.up3(h) + x3.astype(self.dtype))
         h = drop(self.up4(h) + x2.astype(self.dtype))
-        h = drop(self.up5(h))
+        h = self.up5(h)
+        aff5 = None
+        if fold:
+            h, aff5 = h  # decoder-final norm deferred (up5 defer_affine)
         # softmax math in f32, output stored in the compute dtype: a full-res
         # f32 probability volume is 2 GB at 128^3 batch 4 (HBM-decisive).
         # With the head dropout inactive (the flagship default) the softmax
-        # fuses into the out_block conv's kernel epilogue; an active head
-        # dropout must sit BETWEEN conv and softmax (joint_model.py:386-387)
-        # so that path keeps the separate softmax.
+        # fuses into the out_block conv's kernel epilogue — and the deferred
+        # up5-final norm+relu rides in as the same kernel's prologue; an
+        # active head dropout must sit BETWEEN conv and softmax
+        # (joint_model.py:386-387) so that path applies the affine inline
+        # and keeps the separate softmax.
         if not dropout:
-            h = self.out_block(h, softmax_classes=self.n_class)
+            h = self.out_block(h, softmax_classes=self.n_class, pre=aff5)
         else:
+            from vae_segmentation_tpu.models.blocks import apply_affine_relu
+
+            if fold:
+                h = apply_affine_relu(h, aff5)
+            h = drop(h)
             h = drop(self.out_block(h))
             if fold:
                 h = s2d_ops.softmax_folded(h, self.n_class) \

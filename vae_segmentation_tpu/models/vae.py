@@ -100,8 +100,11 @@ class ShapeVAE(nn.Module):
         self.up2 = RUp(f[3], **kw)
         self.up3 = RUp(f[2], folded_out=fold, **kw)
         self.up4 = RUp(f[1], folded_in=fold, folded_out=fold, **kw)
+        # decoder-final norm+relu defers into the head conv prologue (or
+        # is applied inline when the MC decoder dropout is active)
         self.up5 = RUp(f[0], folded_in=fold, folded_out=fold,
-                       wpack_out=wp, **kw)
+                       wpack_out=wp,
+                       defer_affine=fold and not self.soft, **kw)
         self.out_block = OutConv(self.n_class, dtype=self.dtype, folded=fold,
                                  wpack=wp)
 
@@ -135,15 +138,31 @@ class ShapeVAE(nn.Module):
         side = round((self.bottleneck // self.fmaps[5]) ** (1.0 / 3.0))
         x = self.fc2(z.astype(self.dtype))
         x = x.reshape(x.shape[0], side, side, side, self.fmaps[5])
-        for up in (self.up1, self.up2, self.up3, self.up4, self.up5):
+        for up in (self.up1, self.up2, self.up3, self.up4):
             x = up(x)
             x = mc_dropout(self, x, dropout)
+        x = self.up5(x)
+        aff = None
+        if fold and not self.soft:
+            x, aff = x  # decoder-final norm deferred (up5 defer_affine)
         # f32 softmax math, compute-dtype storage (HBM: 2 GB vs 1 GB at
         # 128^3 batch 4 per probability volume); on the folded stencil
         # path the softmax fuses into the head conv's kernel epilogue
         # (no dropout sits between head conv and softmax here,
-        # joint_model.py:265-266)
-        x = self.out_block(x, softmax_classes=self.n_class)
+        # joint_model.py:265-266). With the MC decoder dropout ACTIVE the
+        # deferred norm is applied inline (the affine+relu fuses into the
+        # dropout multiply — same pass count as the materialized norm);
+        # without dropout it rides into the head kernel's prologue.
+        if dropout:
+            from vae_segmentation_tpu.models.blocks import apply_affine_relu
+
+            if aff is not None:
+                x = apply_affine_relu(x, aff)
+                aff = None
+            x = mc_dropout(self, x, dropout)
+            x = self.out_block(x, softmax_classes=self.n_class)
+        else:
+            x = self.out_block(x, softmax_classes=self.n_class, pre=aff)
         if fold:
             return x if self.folded_io else s2d_ops.unfold_rep(x,
                                                                self.n_class)

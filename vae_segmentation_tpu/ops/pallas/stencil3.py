@@ -351,19 +351,21 @@ def _conv_kernel_grouped(hp_ref, main_ref, hn_ref, *rest,
                          stats: bool = False, post: bool = False,
                          soft: bool = False):
     xs_ref = ps_ref = pt_ref = pdlim_ref = dst_ref = gmat_ref = None
+    s_ref = t_ref = dlim_ref = None
+    rest = list(rest)
     if pre:
-        s_ref, t_ref, dlim_ref, kg_ref, b_ref, o_ref, *st = rest
+        s_ref, t_ref, dlim_ref = rest[:3]
+        rest = rest[3:]
     elif post:
-        s_ref = t_ref = dlim_ref = None
-        xs_ref, ps_ref, pt_ref, pdlim_ref, kg_ref, b_ref, o_ref, \
-            dst_ref = rest
-    elif soft:
-        s_ref = t_ref = dlim_ref = None
-        gmat_ref, kg_ref, b_ref, o_ref = rest
+        xs_ref, ps_ref, pt_ref, pdlim_ref = rest[:4]
+        rest = rest[4:]
+    if soft:
+        gmat_ref = rest[0]
+        rest = rest[1:]
+    kg_ref, b_ref, o_ref, *st = rest
+    if post:
+        dst_ref, = st
         st = []
-    else:
-        s_ref = t_ref = dlim_ref = None
-        kg_ref, b_ref, o_ref, *st = rest
     if post:
         @pl.when(pl.program_id(1) == 0)
         def _():
@@ -468,8 +470,7 @@ def _run_conv_grouped(x, kg, b, relu, c: int, wpack: bool, pre=None,
     cout = kg.shape[-1]
     assert w % 8 == 0, w
     assert post is None or (pre is None and not stats and not relu)
-    assert soft_gmat is None or (pre is None and post is None
-                                 and not stats and not relu)
+    assert soft_gmat is None or (post is None and not stats and not relu)
     bd = _pick_bd(d, h, w, cin, cout * (2 if post is not None else 1),
                   dlim)
     pre_specs = [] if pre is None else [
@@ -1025,3 +1026,54 @@ def _bwd_folded_softmax(wpack, n_class, res, g):
 
 conv3_stencil_folded_softmax.defvjp(_fwd_folded_softmax,
                                     _bwd_folded_softmax)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 7))
+def conv3_stencil_folded_softmax_pre(x: jax.Array, s: jax.Array,
+                                     t: jax.Array, k: jax.Array,
+                                     b: jax.Array, wpack: bool,
+                                     dlim=None, n_class: int = 2
+                                     ) -> jax.Array:
+    """The fused HEAD with the producing stage's norm+relu riding in as the
+    kernel prologue: == conv3_stencil_folded_softmax(relu(x*s+t), k, b).
+    The decoder chain's final norm before the out_block conv then never
+    materializes (fwd: prologue at plane load; bwd: softmax VJP -> dx conv
+    with the prologue backward as its in-kernel epilogue, dk with the
+    prologue — the same machinery as conv3_stencil_folded_pre)."""
+    y, _ = _fwd_folded_softmax_pre(x, s, t, k, b, wpack, dlim, n_class)
+    return y
+
+
+def _fwd_folded_softmax_pre(x, s, t, k, b, wpack, dlim, n_class):
+    kg = pack_grouped(k)
+    c = x.shape[-1] // (16 if wpack else 8)
+    y = _run_conv_grouped(x, kg, b, False, c, wpack, pre=(s, t), dlim=dlim,
+                          soft_gmat=_softmax_gmat(kg.shape[-1], n_class))
+    return y, (x, s, t, k, y, dlim)
+
+
+def _bwd_folded_softmax_pre(wpack, n_class, res, g):
+    x, s, t, k, y, dlim = res
+    y32 = y.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    gmat = _softmax_gmat(y.shape[-1], n_class)
+    gy = jax.lax.dot_general(g32 * y32, gmat,
+                             (((y.ndim - 1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dacc = ((g32 - gy) * y32).astype(x.dtype)  # softmax VJP -> conv ct
+    k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    cout_orig = dacc.shape[-1] // (16 if wpack else 8)
+    dx, dst = _run_conv_grouped(dacc, pack_grouped(k_t),
+                                jnp.zeros((k.shape[3],), jnp.float32),
+                                False, cout_orig, wpack, post=(x, s, t),
+                                dlim=dlim)
+    ds, dt = dst[:, 0].astype(s.dtype), dst[:, 1].astype(t.dtype)
+    dkg, db = _run_dk_grouped(x, dacc, x.shape[-1] // (16 if wpack else 8),
+                              wpack, pre=(s, t), dlim=dlim)
+    dk = _unpack_grouped_grad(dkg)
+    return (dx.astype(x.dtype), ds, dt, dk.astype(k.dtype),
+            db.astype(jnp.float32), _dlim_ct(dlim))
+
+
+conv3_stencil_folded_softmax_pre.defvjp(_fwd_folded_softmax_pre,
+                                        _bwd_folded_softmax_pre)

@@ -68,6 +68,16 @@ def set_stencil_mesh(mesh) -> None:
     _STENCIL_MESH = mesh
 
 
+def get_stencil_mesh():
+    """The active mesh registered by cli/common.make_mesh_if_multichip (or
+    None). Consumed by every Pallas-op shard wrap — the stencil/bridge wraps
+    below and the fused loss kernels (ops/pallas/dicesums.py,
+    ops/pallas/reparam.py), which must not reach GSPMD as opaque
+    pallas_calls on a multi-chip mesh (it would all-gather their
+    full-resolution operands)."""
+    return _STENCIL_MESH
+
+
 def stencil_stats_ok() -> bool:
     """Whether the in-kernel stats epilogue (sum/sumsq outputs feeding the
     instance-norm affine) is usable under the active mesh: stats are

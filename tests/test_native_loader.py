@@ -21,8 +21,11 @@ def built():
                             capture_output=True)
         if rc.returncode != 0:
             pytest.skip("native toolchain unavailable")
-    if not native_loader.available():
-        pytest.skip("native loader not loadable")
+    # The .so exists: availability is ASSERTED, not skipped — a dlopen or
+    # pool-init failure here is a product bug, and silently skipping made
+    # 17 green-looking skips out of a mid-session hiccup (round-3 verdict
+    # Weak #2; _get_lib no longer latches transient failures either).
+    assert native_loader.available(), "native .so exists but failed to load"
     return True
 
 
@@ -100,14 +103,11 @@ def test_native_bbox_empty_label(built, tmp_path, rng):
     ((1, 40, 40), (1, 16, 16)),           # degenerate axis
 ])
 @pytest.mark.parametrize("order", [0, 1])
-def test_native_resize_matches_scipy(shape, out, order, monkeypatch):
+def test_native_resize_matches_scipy(built, shape, out, order, monkeypatch):
     """vaeseg_resize_volume == the scipy reference path of
     data/resize.py::resize_volume (skimage.resize semantics: AA gaussian
     sigma max(0,(1/f-1)/2) mirror + grid_mode zoom, grid-constant)."""
-    from vae_segmentation_tpu.data import native_loader, resize
-
-    if not native_loader.available():
-        pytest.skip("native loader not built")
+    from vae_segmentation_tpu.data import resize
     rng = np.random.default_rng(hash((shape, order)) % 2**31)
     vol = rng.normal(size=shape).astype(np.float32) * 300.0
     if order == 0:
@@ -125,12 +125,9 @@ def test_native_resize_matches_scipy(shape, out, order, monkeypatch):
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
 
 
-def test_resize_volume_routes_native(monkeypatch):
+def test_resize_volume_routes_native(built, monkeypatch):
     """The default resize path uses the native kernel when built."""
-    from vae_segmentation_tpu.data import native_loader, resize
-
-    if not native_loader.available():
-        pytest.skip("native loader not built")
+    from vae_segmentation_tpu.data import resize
     vol = np.random.default_rng(0).normal(size=(50, 60, 70)).astype(np.float32)
     monkeypatch.setenv("VAESEG_NATIVE_RESIZE", "1")
     a = resize.resize_volume(vol, (32, 32, 32))

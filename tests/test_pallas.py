@@ -173,21 +173,6 @@ def test_multi_soft_dice_grad(rng):
                                rtol=1e-4, atol=1e-6)
 
 
-def test_fold1_exact(rng):
-    """ops/pallas/fold.py (measured-unwired, BENCH.md): exactness vs
-    s2d.fold(_w) in interpret mode."""
-    from vae_segmentation_tpu.ops import s2d
-    from vae_segmentation_tpu.ops.pallas.fold import fold1
-
-    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8)), jnp.float32)
-    np.testing.assert_array_equal(
-        np.asarray(fold1(x, False)),
-        np.asarray(s2d.fold(x.astype(jnp.bfloat16)[..., None])))
-    np.testing.assert_array_equal(
-        np.asarray(fold1(x, True)),
-        np.asarray(s2d.fold_w(s2d.fold(x.astype(jnp.bfloat16)[..., None]))))
-
-
 def test_up_bridge_w_exact(rng):
     """ops/pallas/upbridge.py vs the XLA folded-space ConvTranspose bridge
     (s2d.expand_up_fold_kernel_w): forward and gradients."""

@@ -356,7 +356,13 @@ def unfold_rep(x: jax.Array, c: int) -> jax.Array:
 
 
 def fold_rep(x: jax.Array, wpack: bool) -> jax.Array:
-    """fold(), optionally followed by fold_w (the production 128^3 rep)."""
+    """fold(), optionally followed by fold_w (the production 128^3 rep).
+
+    This reorg runs inside the ingest jit (cli/common._train_ingest), where
+    it fuses with the augmentation gather — as a standalone step-entry op it
+    cost ~4.3 ms/step of XLA copies. (A Pallas GEMM-routed fold kernel was
+    measured and rejected for the standalone case, then deleted once the
+    ingest emitted pre-folded tensors; BENCH.md "Measured and EXCLUDED".)"""
     xf = fold(x)
     return fold_w(xf) if wpack else xf
 

@@ -446,3 +446,25 @@ def test_down_bridge_w_pre_exact(rng):
     for a, bb, name in zip(gg, gw, "xst"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-4, atol=2e-4, err_msg=name)
+
+
+def test_softmax_group_vjp_exact(rng):
+    """ops/pallas/softmaxvjp.py == the jnp softmax-cotangent chain
+    (g - sum_over_class_group(g*y)) * y, across bd block picks and both
+    dtypes."""
+    from vae_segmentation_tpu.ops.pallas.softmaxvjp import softmax_group_vjp
+
+    for d, nc, fc, dt in ((4, 2, 32, jnp.float32), (6, 3, 48, jnp.bfloat16),
+                          (2, 2, 16, jnp.float32)):
+        g = jnp.asarray(rng.normal(size=(2, d, 4, 8, fc)), dt)
+        y = jnp.asarray(rng.random((2, d, 4, 8, fc)), dt)
+        blk = jnp.arange(fc) // nc
+        gmat = (blk[:, None] == blk[None, :]).astype(jnp.float32)
+        g32, y32 = g.astype(jnp.float32), y.astype(jnp.float32)
+        want = ((g32 - (g32 * y32) @ gmat) * y32).astype(dt)
+        got = softmax_group_vjp(g, y, nc)
+        assert got.dtype == dt
+        np.testing.assert_allclose(
+            np.asarray(got, jnp.float32), np.asarray(want, jnp.float32),
+            rtol=2e-2 if dt == jnp.bfloat16 else 1e-6,
+            atol=2e-2 if dt == jnp.bfloat16 else 1e-6)

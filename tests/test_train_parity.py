@@ -123,13 +123,11 @@ def _dh8_final(recon_loss, fake_loss, lambda_vae):
     return cur * recon_loss + fake_loss
 
 
-@pytest.fixture(scope="module")
-def torch_run(ref_env):
-    """N_STEPS of the reference adaptation loop; returns the initial state
-    dict, per-step losses, post-step-1 and final state dicts, and the final
-    validation dice."""
-    ref_models, ev = ref_env
-    torch.manual_seed(0)
+def _build_torch_joint(ref_models):
+    """Reference Joint (Seg + parametric-view VAE at the test size) plus a
+    frozen deepcopied teacher (model_fix.load_state_dict(model...),
+    main_target.py:427-428); student VAE frozen (main_target.py:396-399).
+    Shared with tests/test_convergence_adapt.py."""
     seg = ref_models.Segmentation(n_channels=1, n_class=2, norm_type=1)
     vae = ref_models.VAE(n_channels=2, n_class=2, norm_type=1, dim=DIM)
     vae.fc_mean = torch.nn.Linear(BOTT, DIM)
@@ -137,16 +135,27 @@ def torch_run(ref_env):
     vae.fc2 = torch.nn.Linear(DIM, BOTT)
     joint = ref_models.Joint([seg, vae], vae_forward_scale=0.0)
 
-    teacher = copy.deepcopy(joint)  # model_fix.load_state_dict(model...)
+    teacher = copy.deepcopy(joint)
     # parametric-view forward for the test size (see _vae_forward_param)
     joint.Vae.forward = types.MethodType(_vae_forward_param, joint.Vae)
     teacher.Vae.forward = types.MethodType(_vae_forward_param, teacher.Vae)
     for p in teacher.parameters():
         p.requires_grad = False
     teacher.eval()
-    for p in joint.Vae.parameters():  # main_target.py:396-399
+    for p in joint.Vae.parameters():
         p.requires_grad = False
     joint.Vae.eval()
+    return joint, teacher
+
+
+@pytest.fixture(scope="module")
+def torch_run(ref_env):
+    """N_STEPS of the reference adaptation loop; returns the initial state
+    dict, per-step losses, post-step-1 and final state dicts, and the final
+    validation dice."""
+    ref_models, ev = ref_env
+    torch.manual_seed(0)
+    joint, teacher = _build_torch_joint(ref_models)
 
     sd0 = {k: v.numpy().copy() for k, v in joint.state_dict().items()}
     opt = torch.optim.SGD(joint.parameters(), lr=LR, weight_decay=0.0,

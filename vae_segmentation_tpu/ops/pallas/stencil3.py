@@ -429,10 +429,13 @@ def _main_spec(h: int, w: int, c: int, bd: int):
 def _pick_bd(d: int, h: int, w: int, cin: int, cout: int, dlim) -> int:
     """D-block size for the fwd conv kernels: the largest divisor of D
     whose working set ((bd+2) input + bd output planes, double-buffered)
-    fits comfortably in VMEM. Forced to 1 under a nontrivial dlim (the
-    spatial halo wrap's slab length D+2 need not divide)."""
-    if dlim is not None:
-        return 1
+    fits comfortably in VMEM. Round-4 negative result (BENCH.md): raising
+    the budget to 44 MB (hot 64^3 C=128/256 stages bd 4->8 / 2->4) MEASURED
+    13.59 -> 13.36 steps/s — the bigger blocks starve Mosaic's DMA
+    double-buffering more than the saved halo re-reads pay; 24 MB stays.
+    Under a nontrivial dlim (the spatial halo wrap's D+2 slab) blocking
+    stays available when the slab length divides — the per-plane dlim
+    masks are bd-generic (round-4 SP-mesh change)."""
     budget = 24 * 1024 * 1024
     for bd in (8, 4, 2):
         if d % bd:
@@ -530,10 +533,10 @@ def _db_spec(cout: int):
 def _pick_bd_dk(d: int, h: int, w: int, cin: int, cout: int, dlim) -> int:
     """D-block size for the dk kernels: (bd+2) input + bd cotangent planes
     double-buffered, plus the dk accumulator — each input plane then DMAs
-    1 + 2/bd times instead of the 3 of the unblocked layout. Forced to 1
-    under a nontrivial dlim (spatial halo slab length need not divide)."""
-    if dlim is not None:
-        return 1
+    1 + 2/bd times instead of the 3 of the unblocked layout. Blocking stays
+    available under a nontrivial dlim when the slab length divides (the
+    per-plane masks are bd-generic; round-4 SP-mesh change). Budget kept at
+    round 3's 20 MB — see _pick_bd's recorded negative result on raising."""
     budget = 20 * 1024 * 1024
     for bd in (8, 4, 2):
         if d % bd:
@@ -1005,14 +1008,12 @@ def _fwd_folded_softmax(x, k, b, wpack, n_class):
 
 
 def _bwd_folded_softmax(wpack, n_class, res, g):
+    from vae_segmentation_tpu.ops.pallas.softmaxvjp import softmax_group_vjp
+
     x, k, b, y = res
-    y32 = y.astype(jnp.float32)
-    g32 = g.astype(jnp.float32)
-    gmat = _softmax_gmat(y.shape[-1], n_class)
-    gy = jax.lax.dot_general(g32 * y32, gmat,
-                             (((y.ndim - 1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dacc = ((g32 - gy) * y32).astype(x.dtype)  # softmax VJP -> conv cotangent
+    # softmax VJP -> conv cotangent, one fused HBM pass (softmaxvjp.py; was
+    # a 2 ms/step f32 XLA chain per head site)
+    dacc = softmax_group_vjp(g, y, n_class).astype(x.dtype)
     k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     cout_orig = dacc.shape[-1] // (16 if wpack else 8)
     dx = _run_conv_grouped(dacc, pack_grouped(k_t),
@@ -1053,14 +1054,11 @@ def _fwd_folded_softmax_pre(x, s, t, k, b, wpack, dlim, n_class):
 
 
 def _bwd_folded_softmax_pre(wpack, n_class, res, g):
+    from vae_segmentation_tpu.ops.pallas.softmaxvjp import softmax_group_vjp
+
     x, s, t, k, y, dlim = res
-    y32 = y.astype(jnp.float32)
-    g32 = g.astype(jnp.float32)
-    gmat = _softmax_gmat(y.shape[-1], n_class)
-    gy = jax.lax.dot_general(g32 * y32, gmat,
-                             (((y.ndim - 1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dacc = ((g32 - gy) * y32).astype(x.dtype)  # softmax VJP -> conv ct
+    # softmax VJP -> conv cotangent, one fused HBM pass (softmaxvjp.py)
+    dacc = softmax_group_vjp(g, y, n_class).astype(x.dtype)
     k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     cout_orig = dacc.shape[-1] // (16 if wpack else 8)
     dx, dst = _run_conv_grouped(dacc, pack_grouped(k_t),

@@ -774,6 +774,191 @@ def _run_dk(x: jax.Array, g: jax.Array, pre=None, dlim=None):
     return dk.reshape(3, 3, 3, cin, cout), db.reshape(cout)
 
 
+def _pick_bd_bwd(d: int, h: int, w: int, cin: int, cout: int, dlim) -> int:
+    """D-block size for the MERGED backward kernel (x and gy blocks both
+    resident): (bd+2) x-planes + (bd+2) gy-planes + bd dx-planes,
+    double-buffered. Same divisibility rules as _pick_bd (incl. bd>1 under
+    a dividing dlim slab)."""
+    budget = 30 * 1024 * 1024
+    for bd in (8, 4, 2):
+        if d % bd:
+            continue
+        if 2 * 2 * h * w * ((bd + 2) * (cin + cout) + bd * cin) <= budget:
+            return bd
+    return 1
+
+
+def _bwd_kernel_grouped(xhp_ref, xm_ref, xhn_ref, ghp_ref, gm_ref, ghn_ref,
+                        *rest, h: int, w: int, cing: int, coutg: int,
+                        d: int, c_x: int, c_g: int, wpack: bool, n: int,
+                        bd: int, pre: bool):
+    """MERGED backward: dx (grouped conv of gy against the transposed
+    kernel), dk (grouped A(x)^T @ gy accumulation), and db — one kernel,
+    one pass over gy and x instead of the dx-kernel + dk-kernel pair
+    (which each re-read one of them in full; round-4 trace: the pair's
+    extra HBM passes + ~2x launches were the largest residual above the
+    conv-pool compute floor).
+
+    pre: the fused-prologue backward — x planes get relu(x*s+t) applied
+    for dk's A (dlim-masked), and dx gets the _apply_post epilogue (relu
+    mask, scale, in-kernel ds/dt accumulation) exactly like the separate
+    post-path dx kernel."""
+    if pre:
+        s_ref, t_ref, dlim_ref, kgt_ref, dx_ref, dk_ref, db_ref, dst_ref, \
+            acc_ref = rest
+    else:
+        s_ref = t_ref = dlim_ref = dst_ref = None
+        kgt_ref, dx_ref, dk_ref, db_ref, acc_ref = rest
+    step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    if pre:
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            dst_ref[...] = jnp.zeros_like(dst_ref)
+
+    planes_x = _load_planes(xhp_ref, xm_ref, xhn_ref, pl.program_id(1),
+                            h=h, w=w, cin=cing, d=d, bd=bd, pre=pre,
+                            s_ref=s_ref, t_ref=t_ref, dlim_ref=dlim_ref)
+    planes_g = _load_planes(ghp_ref, gm_ref, ghn_ref, pl.program_id(1),
+                            h=h, w=w, cin=coutg, d=d, bd=bd, pre=False,
+                            s_ref=None, t_ref=None, dlim_ref=None)
+    dbacc = None
+    for r in range(bd):
+        # dx plane: grouped conv of the gy planes against kg_t
+        accs = [jnp.zeros((h * w, cing), jnp.float32)]
+
+        def contract_dx(gi, a, accs=accs):
+            accs[0] = accs[0] + jax.lax.dot_general(
+                a, kgt_ref[gi], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        _grouped_conv_body((planes_g[r], planes_g[r + 1], planes_g[r + 2]),
+                           w, coutg, c_g, wpack, contract_dx)
+        out = accs[0]
+        if pre:
+            out = _apply_post(out, r, xs_ref=xm_ref, ps_ref=s_ref,
+                              pt_ref=t_ref, pdlim_ref=dlim_ref,
+                              dst_ref=dst_ref, hw=h * w, cout=cing, bd=bd)
+        dx_ref[0, r] = out.reshape(h, w, cing).astype(dx_ref.dtype)
+
+        # dk accumulation against the RAW gy main plane
+        g_r = planes_g[r + 1]
+
+        def contract_dk(gi, a, g_r=g_r):
+            acc_ref[gi] += jax.lax.dot_general(
+                a, g_r, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        _grouped_conv_body((planes_x[r], planes_x[r + 1], planes_x[r + 2]),
+                           w, cing, c_x, wpack, contract_dk)
+        gs = jnp.sum(g_r.astype(jnp.float32), axis=0, keepdims=True)
+        dbacc = gs if dbacc is None else dbacc + gs
+    db_ref[0:1, :] += dbacc
+
+    @pl.when(step == n - 1)
+    def _():
+        dk_ref[...] = acc_ref[...]
+
+
+def _run_bwd_grouped(x, gy, k_t_grouped, c_x: int, c_g: int, wpack: bool,
+                     pre=None, dlim=None):
+    """Merged grouped backward. x [B,D,H,W,Cin]; gy [B,D,H,W,Cout];
+    k_t_grouped [8, Cout, Cin] (pack_grouped of the flipped/transposed
+    kernel). Returns (dx [B,D,H,W,Cin], dk_grouped [8,Cin,Cout] f32,
+    db [Cout] f32) plus dst [B,2,Cin] f32 when pre=(scale, shift)."""
+    bsz, d, h, w, cing = x.shape
+    coutg = gy.shape[-1]
+    bd = _pick_bd_bwd(d, h, w, cing, coutg, dlim)
+    pre_specs = [] if pre is None else [
+        _affine_spec(cing), _affine_spec(cing),
+        pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if pre is not None and dlim is None:
+        dlim = jnp.array([0, d - 1], jnp.int32)
+    pre_args = () if pre is None else (
+        pre[0].astype(x.dtype)[:, None, :],
+        pre[1].astype(x.dtype)[:, None, :], dlim)
+    out_specs = [_main_spec(h, w, cing, bd),
+                 pl.BlockSpec((8, cing, coutg), lambda bi, i: (0, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 _db_spec(coutg)]
+    out_shape = [jax.ShapeDtypeStruct((bsz, d, h, w, cing), x.dtype),
+                 jax.ShapeDtypeStruct((8, cing, coutg), jnp.float32),
+                 jax.ShapeDtypeStruct((1, coutg), jnp.float32)]
+    if pre is not None:
+        out_specs.append(_stats_spec(cing))
+        out_shape.append(jax.ShapeDtypeStruct((bsz, 2, cing), jnp.float32))
+    res = pl.pallas_call(
+        functools.partial(_bwd_kernel_grouped, h=h, w=w, cing=cing,
+                          coutg=coutg, d=d, c_x=c_x, c_g=c_g, wpack=wpack,
+                          n=bsz * (d // bd), bd=bd, pre=pre is not None),
+        grid=(bsz, d // bd),
+        in_specs=[
+            _halo_spec(-1, d, h, w, cing, bd),
+            _main_spec(h, w, cing, bd),
+            _halo_spec(1, d, h, w, cing, bd),
+            _halo_spec(-1, d, h, w, coutg, bd),
+            _main_spec(h, w, coutg, bd),
+            _halo_spec(1, d, h, w, coutg, bd),
+            *pre_specs,
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # kg_t
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((8, cing, coutg), jnp.float32)],
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, x, x, gy, gy, gy, *pre_args, k_t_grouped.astype(x.dtype))
+    if pre is not None:
+        dx, dk, db, dst = res
+        return dx, dk, db.reshape(coutg), dst
+    dx, dk, db = res
+    return dx, dk, db.reshape(coutg)
+
+
+def use_merged_bwd() -> bool:
+    """The merged dx+dk backward kernel (one pass over x and gy instead of
+    the dx-kernel + dk-kernel pair). ON by default; VAESEG_MERGED_BWD=0
+    reverts to the pair for A/B measurement."""
+    import os as _os
+    return _os.environ.get("VAESEG_MERGED_BWD", "1") == "1"
+
+
+def _grouped_backward(x, gy, k, wpack, pre=None, dlim=None):
+    """Shared backward for every grouped folded op: returns
+    (dx, dk_logical, db[, dst]) via the merged kernel (or the legacy
+    dx+dk kernel pair under VAESEG_MERGED_BWD=0)."""
+    k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    c_x = x.shape[-1] // (16 if wpack else 8)
+    c_g = gy.shape[-1] // (16 if wpack else 8)
+    if use_merged_bwd():
+        res = _run_bwd_grouped(x, gy, pack_grouped(k_t), c_x, c_g, wpack,
+                               pre=pre, dlim=dlim)
+        if pre is not None:
+            dx, dkg, db, dst = res
+            return dx, _unpack_grouped_grad(dkg), db, dst
+        dx, dkg, db = res
+        return dx, _unpack_grouped_grad(dkg), db
+    if pre is not None:
+        dx, dst = _run_conv_grouped(gy, pack_grouped(k_t),
+                                    jnp.zeros((k.shape[3],), jnp.float32),
+                                    False, c_g, wpack, post=(x, pre[0],
+                                                             pre[1]),
+                                    dlim=dlim)
+        dkg, db = _run_dk_grouped(x, gy, c_x, wpack, pre=pre, dlim=dlim)
+        return dx, _unpack_grouped_grad(dkg), db, dst
+    dx = _run_conv_grouped(gy, pack_grouped(k_t),
+                           jnp.zeros((k.shape[3],), jnp.float32), False,
+                           c_g, wpack)
+    dkg, db = _run_dk_grouped(x, gy, c_x, wpack)
+    return dx, _unpack_grouped_grad(dkg), db
+
+
 def _stats_cotangent(y, gy, gst):
     """Fold the stats-output cotangents into gy: the stats are
     sum(y) / sum(y^2), so d(sum)/dy = 1 and d(sumsq)/dy = 2y. One fused
@@ -860,15 +1045,8 @@ def _bwd_folded(wpack, relu, stats, res, g):
         gy = jnp.where(y > 0, gy, jnp.zeros((), gy.dtype))
     # dx: flipped kernel, I/O channels swapped — flip+transpose PRESERVES
     # the fold structure (tap t's (eps, dlt) support maps to -t's), so the
-    # grouped path applies to the backward conv too
-    k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
-    cout_orig = gy.shape[-1] // (16 if wpack else 8)
-    dx = _run_conv_grouped(gy, pack_grouped(k_t),
-                           jnp.zeros((k.shape[3],), jnp.float32), False,
-                           cout_orig, wpack)
-    dkg, db = _run_dk_grouped(x, gy, x.shape[-1] // (16 if wpack else 8),
-                              wpack)
-    dk = _unpack_grouped_grad(dkg)
+    # grouped path applies to the backward conv too (merged dx+dk kernel)
+    dx, dk, db = _grouped_backward(x, gy, k, wpack)
     return (dx.astype(x.dtype), dk.astype(k.dtype), db.astype(b.dtype))
 
 
@@ -957,17 +1135,10 @@ def _fwd_folded_pre(x, s, t, k, b, wpack, dlim, stats):
 def _bwd_folded_pre(wpack, stats, res, g):
     x, s, t, k, b, dlim, y = res
     gy = _stats_cotangent(y, g[0], g[1]) if stats else g
-    k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
-    cout_orig = gy.shape[-1] // (16 if wpack else 8)
-    # dx conv with the prologue backward fused as an epilogue (see _bwd_pre)
-    dx, dst = _run_conv_grouped(gy, pack_grouped(k_t),
-                                jnp.zeros((k.shape[3],), jnp.float32),
-                                False, cout_orig, wpack, post=(x, s, t),
-                                dlim=dlim)
+    # merged dx+dk kernel with the prologue backward as the dx epilogue
+    dx, dk, db, dst = _grouped_backward(x, gy, k, wpack, pre=(s, t),
+                                        dlim=dlim)
     ds, dt = dst[:, 0].astype(s.dtype), dst[:, 1].astype(t.dtype)
-    dkg, db = _run_dk_grouped(x, gy, x.shape[-1] // (16 if wpack else 8),
-                              wpack, pre=(s, t), dlim=dlim)
-    dk = _unpack_grouped_grad(dkg)
     return (dx.astype(x.dtype), ds, dt, dk.astype(k.dtype),
             db.astype(b.dtype), _dlim_ct(dlim))
 
@@ -1014,14 +1185,7 @@ def _bwd_folded_softmax(wpack, n_class, res, g):
     # softmax VJP -> conv cotangent, one fused HBM pass (softmaxvjp.py; was
     # a 2 ms/step f32 XLA chain per head site)
     dacc = softmax_group_vjp(g, y, n_class).astype(x.dtype)
-    k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
-    cout_orig = dacc.shape[-1] // (16 if wpack else 8)
-    dx = _run_conv_grouped(dacc, pack_grouped(k_t),
-                           jnp.zeros((k.shape[3],), jnp.float32), False,
-                           cout_orig, wpack)
-    dkg, db = _run_dk_grouped(x, dacc, x.shape[-1] // (16 if wpack else 8),
-                              wpack)
-    dk = _unpack_grouped_grad(dkg)
+    dx, dk, db = _grouped_backward(x, dacc, k, wpack)
     return dx.astype(x.dtype), dk.astype(k.dtype), db.astype(b.dtype)
 
 
@@ -1059,16 +1223,9 @@ def _bwd_folded_softmax_pre(wpack, n_class, res, g):
     x, s, t, k, y, dlim = res
     # softmax VJP -> conv cotangent, one fused HBM pass (softmaxvjp.py)
     dacc = softmax_group_vjp(g, y, n_class).astype(x.dtype)
-    k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
-    cout_orig = dacc.shape[-1] // (16 if wpack else 8)
-    dx, dst = _run_conv_grouped(dacc, pack_grouped(k_t),
-                                jnp.zeros((k.shape[3],), jnp.float32),
-                                False, cout_orig, wpack, post=(x, s, t),
-                                dlim=dlim)
+    dx, dk, db, dst = _grouped_backward(x, dacc, k, wpack, pre=(s, t),
+                                        dlim=dlim)
     ds, dt = dst[:, 0].astype(s.dtype), dst[:, 1].astype(t.dtype)
-    dkg, db = _run_dk_grouped(x, dacc, x.shape[-1] // (16 if wpack else 8),
-                              wpack, pre=(s, t), dlim=dlim)
-    dk = _unpack_grouped_grad(dkg)
     return (dx.astype(x.dtype), ds, dt, dk.astype(k.dtype),
             db.astype(jnp.float32), _dlim_ct(dlim))
 

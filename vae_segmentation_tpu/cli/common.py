@@ -344,6 +344,18 @@ def run_sliding_window_eval(cfg, seg_apply, params, *, n_class: int,
             batch=min(cfg.batch_size, 4), n_class=n_class)
         probs = probs[: shape[0], : shape[1], : shape[2]]
         pred = jnp.argmax(probs, axis=-1).astype(jnp.float32)
+        if getattr(cfg, "postprocess", False):
+            # the reference's full-volume predict_vol rule
+            # (utils/utils.py:777-796): keep the <=2 largest foreground
+            # components above the voxel floor, zero the rest. Host-side
+            # scipy CC on the argmax map — offline tooling, not the hot
+            # loop (SURVEY.md section 2.3).
+            from vae_segmentation_tpu.eval.postprocess import \
+                largest_components
+            pred_np = np.asarray(pred)
+            keep = largest_components(
+                pred_np > 0, min_voxels=cfg.postprocess_min_voxels)
+            pred = jnp.asarray(pred_np * keep, jnp.float32)
         onehot_pred = jax.nn.one_hot(pred, n_class)[None]
         onehot_gt = jax.nn.one_hot(jnp.asarray(lab, jnp.int32), n_class)[None]
         score = L.avg_dsc(onehot_pred, onehot_gt, botindex=1,

@@ -63,6 +63,8 @@ class CommonConfig:
     save_root: str = "3dmodel"
     eval_mode: str = "crop"
     sw_overlap: float = 0.5
+    postprocess: bool = False
+    postprocess_min_voxels: int = 10000
     debug_nans: bool = False
 
     # reference constant, overridable for small-scale tests (must be a
@@ -202,6 +204,16 @@ def _add_common(p: argparse.ArgumentParser):
                         "sliding_window: full-volume patch inference with "
                         "on-device stitching (framework extension)")
     p.add_argument("--sw_overlap", type=float, default=0.5)
+    p.add_argument("--postprocess", action="store_true",
+                   help="connected-component filter on sliding-window "
+                        "predictions: keep the <=2 largest foreground "
+                        "components above --postprocess_min_voxels voxels "
+                        "(the reference's full-volume predict_vol rule, "
+                        "utils/utils.py:777-796)")
+    p.add_argument("--postprocess_min_voxels", type=int, default=10000,
+                   help="minimum component size for --postprocess "
+                        "(reference constant 10000, utils/utils.py:791; "
+                        "overridable for small-volume runs)")
     p.add_argument("--aug_order", type=int, choices=(1, 3), default=1,
                    help="augmentation image interpolation order: 1 = fast "
                         "trilinear (default), 3 = the reference's cubic "

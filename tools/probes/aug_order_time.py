@@ -13,6 +13,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 from vae_segmentation_tpu.cli.common import _train_ingest
 
+_train_ingest = jax.jit(_train_ingest, static_argnums=(3, 4, 5, 6))
+
 rng = np.random.default_rng(0)
 SRC, PATCH, B = 144, (128, 128, 128), 4
 image = jnp.asarray(rng.normal(size=(B, SRC, SRC, SRC)) * 200,

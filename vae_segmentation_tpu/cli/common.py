@@ -121,9 +121,16 @@ def make_train_ingest(cfg: CommonConfig, fold: int = 0) -> Callable:
     (models.blocks.stage_wpack)."""
     patch = tuple(cfg.patch_size)
     aug_order = getattr(cfg, "aug_order", 1)
+    no_aug = cfg.no_aug
 
+    # One jit over the WHOLE ingest: without it only the inner
+    # spatial_augment is compiled and the normalize + fold tail runs
+    # eagerly — each op its own dispatch and HBM round trip, and the fold
+    # reorg a standalone copy instead of fusing with the warp gather's
+    # output indexing (the round-3 prefolded-ingest win assumed this).
+    @jax.jit
     def ingest(image, label, key):
-        return _train_ingest(image, label, key, patch, cfg.no_aug,
+        return _train_ingest(image, label, key, patch, no_aug,
                              aug_order, fold)
 
     return ingest

@@ -76,10 +76,14 @@ def test_bf16_path(rng):
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
 
 
-def test_grouped_folded_parity(rng):
+@pytest.mark.parametrize("merged", ["0", "1"])
+def test_grouped_folded_parity(rng, merged, monkeypatch):
     """conv3_stencil_folded (grouped-tap path) == XLA conv with the SAME
     expanded kernel, on both the plain-folded and W-PACKED reps, and the
-    gradient wrt the RAW weights (through the s2d expansion) matches."""
+    gradient wrt the RAW weights (through the s2d expansion) matches —
+    under both backward implementations (the default dx+dk kernel pair
+    and the opt-in merged kernel, VAESEG_MERGED_BWD)."""
+    monkeypatch.setenv("VAESEG_MERGED_BWD", merged)
     from vae_segmentation_tpu.ops import s2d
     from vae_segmentation_tpu.ops.pallas.stencil3 import conv3_stencil_folded
 
@@ -170,10 +174,13 @@ def test_pre_fused_parity(rng):
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
-def test_pre_fused_folded_parity(rng):
+@pytest.mark.parametrize("merged", ["0", "1"])
+def test_pre_fused_folded_parity(rng, merged, monkeypatch):
     """conv3_stencil_folded_pre (grouped-tap + prologue) == unfused
     norm-affine + conv3_stencil_folded, on plain-folded and W-PACKED reps,
-    forward and gradients."""
+    forward and gradients — under both backward implementations
+    (VAESEG_MERGED_BWD)."""
+    monkeypatch.setenv("VAESEG_MERGED_BWD", merged)
     from vae_segmentation_tpu.ops import s2d
     from vae_segmentation_tpu.ops.pallas.stencil3 import (
         conv3_stencil_folded, conv3_stencil_folded_pre)

@@ -923,10 +923,14 @@ def _run_bwd_grouped(x, gy, k_t_grouped, c_x: int, c_g: int, wpack: bool,
 
 def use_merged_bwd() -> bool:
     """The merged dx+dk backward kernel (one pass over x and gy instead of
-    the dx-kernel + dk-kernel pair). ON by default; VAESEG_MERGED_BWD=0
-    reverts to the pair for A/B measurement."""
+    the dx-kernel + dk-kernel pair). OFF by default: despite halving the
+    backward's input HBM traffic it measured 11.8 vs the pair's 13.6
+    steps/s/chip on the full step (BENCH.md round-4 A/B) — the doubled
+    per-grid-step DMA working set (x AND gy halo streams resident)
+    breaks double-buffering at the hot shapes. VAESEG_MERGED_BWD=1
+    opts in for A/B."""
     import os as _os
-    return _os.environ.get("VAESEG_MERGED_BWD", "1") == "1"
+    return _os.environ.get("VAESEG_MERGED_BWD", "0") == "1"
 
 
 def _grouped_backward(x, gy, k, wpack, pre=None, dlim=None):

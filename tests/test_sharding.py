@@ -505,7 +505,7 @@ def test_stats_epilogue_under_spatial_mesh(rng, monkeypatch):
     """Round 4: the in-kernel (sum, sumsq) stats epilogue SURVIVES spatial
     meshes — the wrap subtracts the two halo output planes' contribution
     from each slab's kernel stats and psums the partials over 'spatial'
-    (blocks._stats_halo_correct), so the ~3%/step epilogue win reaches the
+    (blocks._stats_slab_correct), so the ~3%/step epilogue win reaches the
     flagship DP x SP mesh (round-3 verdict Weak #3). Forward stats must
     equal the global reduce, and gradients THROUGH the stats (the
     affine-consumer path) must match — the halo planes' stats cotangent

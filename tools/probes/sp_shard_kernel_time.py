@@ -45,7 +45,11 @@ bias = jnp.zeros((16 * C_ORIG,), jnp.float32)
 
 results = {}
 for tag, b_, d_, dlim in (("full_B4_D64", 4, 64, None),
-                          ("shard_B1_D34", 1, 34, (1, 32))):
+                          ("shard_B1_D34", 1, 34, (1, 32)),
+                          # the bd-aligned padded slab the round-4 wrap
+                          # actually dispatches (blocks._pad_slab_bd):
+                          # 34 -> 40 unlocks bd=8 instead of 2
+                          ("shardpad_B1_D40", 1, 40, (1, 32))):
     x = jnp.asarray(rng.normal(size=(b_, d_, 64, 32, 128)), jnp.bfloat16)
     s = jnp.asarray(1 + 0.1 * rng.normal(size=(b_, 128)), jnp.float32)
     t = jnp.asarray(0.1 * rng.normal(size=(b_, 128)), jnp.float32)
@@ -71,7 +75,8 @@ for tag, b_, d_, dlim in (("full_B4_D64", 4, 64, None),
 # per-useful-plane normalization: full = 4*64 planes, shard = 1*32 useful
 for suf in ("fwd", "fwdbwd"):
     full = results[f"full_B4_D64_{suf}"] / (4 * 64)
-    shard = results[f"shard_B1_D34_{suf}"] / (1 * 32)
-    print(f"{suf}: per-useful-plane ratio shard/full = {shard / full:.3f}",
-          flush=True)
+    for stag in ("shard_B1_D34", "shardpad_B1_D40"):
+        shard = results[f"{stag}_{suf}"] / (1 * 32)
+        print(f"{suf} {stag}: per-useful-plane ratio vs full = "
+              f"{shard / full:.3f}", flush=True)
 print("DONE", flush=True)

@@ -84,29 +84,65 @@ def stencil_stats_ok() -> bool:
     per-batch-element, so batch ('data') sharding splits them cleanly, and
     since round 4 spatial meshes keep them too — the wrap subtracts the
     halo output planes' contribution and psums the per-slab partials
-    (_stats_halo_correct), so the epilogue's ~3%/step win survives the
+    (_stats_slab_correct), so the epilogue's ~3%/step win survives the
     flagship DP4xSP2 mesh (round-3 verdict Weak #3)."""
     return True
 
 
-def _stats_halo_correct(y_padded, st):
+def _pad_slab_bd(x_pad):
+    """Round the halo-extended D-slab up to a multiple of 8 so the stencil
+    kernels can D-block it. The slab depth D/n_sp + 2 (e.g. the flagship
+    DP4xSP2 128^3 stage: 34 = 2*17) almost never divides by the kernel's
+    block sizes, capping bd at 2 (or 1) — measured 7-9x worse per useful
+    plane than the one-chip bd=8 launch shape
+    (tools/probes/sp_shard_kernel_time.py). The appended zero planes are
+    masked inputs (dlim for the prologue kernels; literal zeros — i.e. the
+    conv's own SAME padding — for the plain ones), their outputs are
+    sliced away, and their stats contribution is subtracted in
+    _stats_slab_correct. Returns (padded, original_depth)."""
+    d2 = x_pad.shape[1]
+    d_t = -(-d2 // 8) * 8
+    if d_t == d2:
+        return x_pad, d2
+    pad = [(0, 0)] * x_pad.ndim
+    pad[1] = (0, d_t - d2)
+    return jnp.pad(x_pad, pad), d2
+
+
+def _stats_slab_correct(y_padded, st, d2):
     """Per-slab stats -> global stats under the spatial halo wrap: the
-    kernel accumulated (sum, sumsq) over ALL d+2 output planes of the
-    padded slab, but planes 0 and -1 are the halo (duplicates of the
+    kernel accumulated (sum, sumsq) over ALL output planes of the padded
+    slab, but plane 0 and plane d2-1 are the halo (duplicates of the
     neighbour's boundary outputs, or zero-padding garbage at the volume
-    edges) and are sliced away from the returned activation. Subtract
-    exactly what those two stored planes contributed (reads 2 of d+2
-    planes — the bulk of the activation is still never re-read), then
-    psum the per-slab partials over 'spatial'. The consumer divides by the
-    GLOBAL spatial count (affine_from_stats is called at the jit level
-    where shapes are logical), so the result matches the unsharded
-    epilogue up to summation order."""
+    edges) and planes >= d2 are the bd-alignment pad (_pad_slab_bd); all
+    are sliced away from the returned activation. Subtract what the two
+    halo planes contributed plus the pad planes' contribution: pad plane
+    d2 still sees the real last halo plane through its depth-(-1) tap, but
+    every deeper pad plane's inputs are all masked/zero, making planes
+    d2+1..end IDENTICAL (the biased/activated zero-conv) — read one and
+    scale by n_pad-1. Reads <=4 of the stored planes — the bulk of the
+    activation is never re-read. Then psum the per-slab partials over
+    'spatial'. The
+    consumer divides by the GLOBAL spatial count (affine_from_stats is
+    called at the jit level where shapes are logical), so the result
+    matches the unsharded epilogue up to summation order."""
     lo = y_padded[:, 0].astype(jnp.float32)
-    hi = y_padded[:, -1].astype(jnp.float32)
+    hi = y_padded[:, d2 - 1].astype(jnp.float32)
     corr = jnp.stack([
         jnp.sum(lo, axis=(1, 2)) + jnp.sum(hi, axis=(1, 2)),
         jnp.sum(lo * lo, axis=(1, 2)) + jnp.sum(hi * hi, axis=(1, 2)),
     ], axis=1)
+    n_pad = y_padded.shape[1] - d2
+    if n_pad:
+        pp = y_padded[:, d2].astype(jnp.float32)
+        corr = corr + jnp.stack([
+            jnp.sum(pp, axis=(1, 2)), jnp.sum(pp * pp, axis=(1, 2))],
+            axis=1)
+    if n_pad > 1:
+        pz = y_padded[:, d2 + 1].astype(jnp.float32)
+        corr = corr + (n_pad - 1) * jnp.stack([
+            jnp.sum(pz, axis=(1, 2)), jnp.sum(pz * pz, axis=(1, 2))],
+            axis=1)
     return jax.lax.psum(st - corr, "spatial")
 
 
@@ -144,11 +180,12 @@ def stencil_shard_wrap(fn, stats: bool = False):
         def halo_fn(x, k, b):
             xm = jax.lax.ppermute(x[:, -1:], "spatial", send_down)
             xp = jax.lax.ppermute(x[:, :1], "spatial", send_up)
-            out = fn(jnp.concatenate([xm, x, xp], axis=1), k, b)
+            slab, d2 = _pad_slab_bd(jnp.concatenate([xm, x, xp], axis=1))
+            out = fn(slab, k, b)
             if stats:
                 y, st = out
-                return y[:, 1:-1], _stats_halo_correct(y, st)
-            return out[:, 1:-1]
+                return y[:, 1:d2 - 1], _stats_slab_correct(y, st, d2)
+            return out[:, 1:d2 - 1]
 
         sharded = shard_map(halo_fn, mesh=mesh,
                             in_specs=(P("data", "spatial"), P(), P()),
@@ -246,17 +283,19 @@ def stencil_shard_wrap_pre(fn, stats: bool = False):
             xm = jax.lax.ppermute(x[:, -1:], "spatial", send_down)
             xp = jax.lax.ppermute(x[:, :1], "spatial", send_up)
             idx = jax.lax.axis_index("spatial")
-            d_pad = x.shape[1] + 2
+            d2 = x.shape[1] + 2
+            # dlim's hi stays at the pre-pad slab end, so the bd-alignment
+            # pad planes (>= d2) are masked like the missing-neighbour halo
             dlim = jnp.stack([
                 jnp.where(idx == 0, 1, 0),
-                jnp.where(idx == n_sp - 1, d_pad - 2, d_pad - 1),
+                jnp.where(idx == n_sp - 1, d2 - 2, d2 - 1),
             ]).astype(jnp.int32)
-            out = fn(jnp.concatenate([xm, x, xp], axis=1), s, t, k, b,
-                     dlim=dlim)
+            slab, _ = _pad_slab_bd(jnp.concatenate([xm, x, xp], axis=1))
+            out = fn(slab, s, t, k, b, dlim=dlim)
             if stats:
                 y, st = out
-                return y[:, 1:-1], _stats_halo_correct(y, st)
-            return out[:, 1:-1]
+                return y[:, 1:d2 - 1], _stats_slab_correct(y, st, d2)
+            return out[:, 1:d2 - 1]
 
         sharded = shard_map(
             halo_fn, mesh=mesh,

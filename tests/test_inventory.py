@@ -95,6 +95,48 @@ def test_host_transform_chain(tmp_path, rng):
     assert set(np.unique(out2["venous_pancreas"])) <= {0.0, 1.0}
 
 
+def test_numpy_loader_multi_dict_paths(tmp_path, rng):
+    from vae_segmentation_tpu.data import host_transforms as T
+
+    img = rng.normal(size=(8, 8, 8)).astype(np.float32)
+    lab = (rng.random((8, 8, 8)) > 0.5).astype(np.float32)
+    np.save(tmp_path / "img.npy", img)
+    np.save(tmp_path / "lab.npy", lab)
+    loader = T.NumpyLoaderMulti(fields=["venous"], root_dir=str(tmp_path),
+                                load_mask=True, load_pred=True)
+    out = loader({"venous": "img.npy", "venous_pancreas": "lab.npy"})
+    np.testing.assert_array_equal(out["venous"], img)
+    np.testing.assert_array_equal(out["venous_pancreas"], lab)
+    # absent/falsy companions are skipped, as in utils/utils.py:317-322
+    assert "venous_pancreas_pred" not in out
+    out2 = T.NumpyLoaderMulti(fields=["venous"],
+                              root_dir=str(tmp_path))({"other": 1})
+    assert out2 == {"other": 1}
+
+
+def test_norm_batchnorm_branch(rng):
+    """joint_model.py:12-13: norm_type=2 -> BatchNorm3d(momentum=0.1)."""
+    from vae_segmentation_tpu.models.blocks import Norm
+
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 4, 3)) * 3 + 1, jnp.float32)
+    m = Norm(norm_type=2)
+    variables = m.init({"params": jax.random.PRNGKey(0)}, x)
+    assert "batch_stats" in variables
+    out, updates = m.apply(variables, x, mutable=["batch_stats"])
+    # train mode normalizes with batch statistics
+    got = np.asarray(out)
+    assert abs(got.mean()) < 1e-4 and abs(got.std() - 1.0) < 1e-2
+    # running stats move toward the batch by torch momentum 0.1
+    ra_mean = np.asarray(updates["batch_stats"]["BatchNorm_0"]["mean"])
+    batch_mean = np.asarray(jnp.mean(x, axis=(0, 1, 2, 3)))
+    np.testing.assert_allclose(ra_mean, 0.1 * batch_mean, rtol=1e-5)
+    # eval mode consumes the running average without mutation
+    m_eval = Norm(norm_type=2, use_running_average=True)
+    out_eval = m_eval.apply({"params": variables.get("params", {}),
+                             "batch_stats": updates["batch_stats"]}, x)
+    assert out_eval.shape == x.shape
+
+
 def test_pad_to_size_crops_when_larger(rng):
     from vae_segmentation_tpu.data import host_transforms as T
 

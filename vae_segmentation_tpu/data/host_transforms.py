@@ -128,6 +128,39 @@ class NumpyLoader(BaseTransform):
         return out
 
 
+class NumpyLoaderMulti(BaseTransform):
+    """utils/utils.py:296-323: dict-path npy loader — each field (and,
+    with load_mask/load_pred, its `<f>_pancreas` / `<f>_pancreas_pred`
+    companion) holds a path relative to root_dir, replaced in place by the
+    loaded array. Entries whose value is falsy are skipped, mirroring the
+    reference's `data_dict.get(...)` guards."""
+
+    def __init__(self, fields, root_dir="/", dtype=np.float32,
+                 load_mask=False, load_pred=False):
+        super().__init__(fields)
+        self.root_dir = root_dir
+        self.dtype = dtype
+        self.load_mask = load_mask
+        self.load_pred = load_pred
+
+    def __call__(self, data_dict: Dict) -> Dict:
+        import os
+
+        out = dict(data_dict)
+        for f in self.fields:
+            if out.get(f) is not None:
+                out[f] = np.load(os.path.join(self.root_dir, out[f])) \
+                    .astype(self.dtype)
+            if self.load_mask and out.get(f + "_pancreas", None):
+                out[f + "_pancreas"] = np.load(os.path.join(
+                    self.root_dir, out[f + "_pancreas"])).astype(self.dtype)
+            if self.load_pred and out.get(f + "_pancreas_pred", None):
+                out[f + "_pancreas_pred"] = np.load(os.path.join(
+                    self.root_dir, out[f + "_pancreas_pred"])) \
+                    .astype(self.dtype)
+        return out
+
+
 class ReadNPY(BaseTransform):
     """utils/utils.py:153-180: read already-loaded arrays from a dict entry
     {'img': path, 'label': path}."""

@@ -485,21 +485,30 @@ def gs_norm(x: jax.Array, num_group: int = 1, eps: float = 1e-4) -> jax.Array:
 
 class Norm(nn.Module):
     """Normalization dispatch (joint_model.py:9-15). norm_type: 1=instance,
-    2=batch (not supported — the reference recipes only ever use 1), 3=gsnorm."""
+    2=batch (BatchNorm3d, momentum=0.1 — joint_model.py:12-13), 3=gsnorm.
+    The shipped recipes only ever use norm_type=1; the BatchNorm branch
+    exists for library parity. Its running statistics live in the flax
+    `batch_stats` collection (callers init/apply with
+    mutable=["batch_stats"] when training); `use_running_average` plays
+    torch's eval-mode role. torch momentum=0.1 means
+    running <- 0.9*running + 0.1*batch, i.e. flax momentum=0.9."""
 
     norm_type: int = 1
     num_group: int = 1
+    use_running_average: bool = False
 
     @nn.compact
     def __call__(self, x):
         if self.norm_type == 1:
             return instance_norm(x)
+        if self.norm_type == 2:
+            return nn.BatchNorm(
+                use_running_average=self.use_running_average,
+                momentum=0.9, epsilon=1e-5, dtype=x.dtype,
+                param_dtype=jnp.float32)(x)
         if self.norm_type == 3:
             return gs_norm(x, self.num_group)
-        raise NotImplementedError(
-            f"norm_type={self.norm_type}: the shipped recipes use norm_type=1 "
-            "(InstanceNorm); BatchNorm is intentionally unsupported."
-        )
+        raise ValueError(f"unknown norm_type={self.norm_type}")
 
 
 def _act(soft: bool):

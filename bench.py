@@ -48,6 +48,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 # baseline (favoring the reference).
 BASELINE_STEPS_PER_SEC_PER_CHIP = 0.5
 
+# Roofline constants (tools/probes/roofline.py, analytic; BENCH.md §roofline):
+# logical math of the reference step vs executed grouped-tap FLOPs on the
+# W-packed space-to-depth rep, against the v5e bf16 peak. MFU here is
+# model-FLOPs utilization per second of wall step time.
+LOGICAL_FLOP_PER_STEP = 2.58e12
+GROUPED_FLOP_PER_STEP = 7.27e12
+PEAK_BF16_FLOPS = 197e12
+
 SIDE = 128
 # headline stays at the reference's global batch 4; VAESEG_BENCH_BATCH
 # overrides for scaling studies (BENCH.md batch-scaling table)
@@ -145,6 +153,10 @@ def main():
         "value": round(value, 4),
         "unit": "steps/sec/chip",
         "vs_baseline": round(value / BASELINE_STEPS_PER_SEC_PER_CHIP, 2),
+        "mfu_logical": round(value * LOGICAL_FLOP_PER_STEP
+                             / PEAK_BF16_FLOPS, 4),
+        "mfu_grouped": round(value * GROUPED_FLOP_PER_STEP
+                             / PEAK_BF16_FLOPS, 4),
     }))
 
 

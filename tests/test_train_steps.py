@@ -159,6 +159,44 @@ def test_adapt_step_prefolded_ingest_parity(monkeypatch):
                                    rtol=1e-4, atol=1e-6, err_msg=str(p1))
 
 
+def test_seg_replay_step_folded_parity(monkeypatch):
+    """--pseudo_list replay on the folded fast path: make_seg_replay_step on
+    a folded_io Joint fed ingest-PREFOLDED tensors computes the same loss and
+    parameter update as the raw-rep step on the eval view (dice sums are
+    fold-invariant), so folding the replay batch changes only its speed."""
+    monkeypatch.setenv("VAESEG_S2D", "1")
+    from vae_segmentation_tpu.models.blocks import stage_wpack
+    from vae_segmentation_tpu.ops import s2d
+    from vae_segmentation_tpu.train import make_seg_replay_step
+
+    kw = dict(n_class=2, dim=8, fmaps=FMAPS, bottleneck=BOT,
+              dtype=jnp.float32, seg_dropout=0.0, vae_decoder_dropout=0.0)
+    model = Joint(folded_io=True, **kw)
+    model_eval = Joint(**kw)
+    img, lab = _blob_batch()
+    params = model.init({"params": KEY, "reparam": KEY},
+                        img[..., None])["params"]
+    tx = optim.freeze_vae(optim.sgd(0.05), params)
+
+    step_raw = make_seg_replay_step(model_eval, tx, 2)
+    state0, m0 = step_raw(init_state(clone(params), tx), img, lab)
+
+    wp = stage_wpack(FMAPS)
+    img_f = s2d.fold_rep(img[..., None], wp)
+    lab_f = s2d.fold_rep(lab.astype(jnp.bfloat16)[..., None], wp)
+    step_fold = make_seg_replay_step(model, tx, 2)
+    state1, m1 = step_fold(init_state(clone(params), tx), img_f, lab_f)
+
+    np.testing.assert_allclose(np.asarray(m1["dice_loss"]),
+                               np.asarray(m0["dice_loss"]),
+                               rtol=2e-5, atol=1e-6)
+    for (p1, l1), (_, l0) in zip(
+            jax.tree_util.tree_flatten_with_path(state1.params)[0],
+            jax.tree_util.tree_flatten_with_path(state0.params)[0]):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-4, atol=1e-6, err_msg=str(p1))
+
+
 def test_train_ingest_fold_emission(monkeypatch):
     """_train_ingest(fold=k) output == fold_rep of the raw ingest output
     (same warp, same normalize — the fold is a pure layout emission)."""

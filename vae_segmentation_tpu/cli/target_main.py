@@ -50,7 +50,6 @@ from vae_segmentation_tpu.train import (
     make_adapt_step,
     make_discriminator_step,
     make_finetune_step,
-    make_seg_train_step,
     make_vae_train_step,
     optim,
 )
@@ -241,11 +240,12 @@ def run(cfg: TargetConfig) -> float:
 
     # ---- compiled steps
     ingest = common.make_train_ingest(cfg)
-    if m == "domain_adaptation" and fold_active and cfg.pseudo_list is None:
+    if m == "domain_adaptation" and fold_active:
         # the folded adapt step consumes ingest-prefolded tensors (the fold
         # reorg fuses into the augmentation gather; BENCH.md round 4). The
-        # --pseudo_list replay shares the ingest with an unfolded seg step,
-        # so those runs keep the raw contract.
+        # --pseudo_list replay rides the same contract via
+        # make_seg_replay_step (round-4 verdict Weak #4: it used to drop
+        # both batches to the raw-rep convs).
         from vae_segmentation_tpu.models.blocks import stage_wpack
         ingest = common.make_train_ingest(
             cfg, fold=2 if stage_wpack(model.fmaps) else 1)
@@ -277,10 +277,11 @@ def run(cfg: TargetConfig) -> float:
             analysis_step = make_analysis_metrics_step(model_eval,
                                                        teacher_eval, n_class)
         if cfg.pseudo_list is not None:
-            # replay trains on GT dice with raw-rep outputs; model_eval
-            # shares the param tree but segments unfolded
-            replay_step = make_seg_train_step(model_seg_view(model_eval), tx,
-                                              n_class)
+            # replay trains the Seg on GT dice, folded when the adapt step is
+            # (same prefolded ingest; dice is fold-invariant)
+            from vae_segmentation_tpu.train import make_seg_replay_step
+            replay_step = make_seg_replay_step(
+                model if fold_active else model_eval, tx, n_class)
     elif m == "domain_adaptation_dis":
         step = make_adapt_dis_step(model, teacher, tx, acfg)
         eval_step = make_joint2_eval(model, n_class)
@@ -591,18 +592,6 @@ def _train_display_panel(cfg, eval_step, teacher_seg_fwd, params,
     pseudo = L.binarize(teacher_seg_fwd(teacher_params, image_n[..., None]))
     return mid_slice_panel(out["recon"][..., 1], onehot[..., 1],
                            out["pred"][..., 1], pseudo[..., 1])
-
-
-def model_seg_view(joint: Joint):
-    """A callable module view exposing only the Seg forward of a Joint —
-    the source-replay step trains the student Seg with plain GT dice
-    (main_target.py:668-691)."""
-
-    class _SegView:
-        def apply(self, variables, image, **kw):
-            return joint.apply(variables, image, method=Joint.segment)
-
-    return _SegView()
 
 
 def make_joint2_eval(model: Joint2, n_class: int):

@@ -15,6 +15,7 @@ from vae_segmentation_tpu.train.steps import (  # noqa: F401
     make_joint_train_step,
     make_refine_vae_step,
     make_sep_joint_train_step,
+    make_seg_replay_step,
     make_seg_train_step,
     make_vae_train_step,
 )

@@ -210,6 +210,40 @@ def make_seg_train_step(model, tx, n_class: int, *, eps: float = L.SOURCE_EPS):
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_seg_replay_step(model: Joint, tx, n_class: int, *,
+                         eps: float = L.SOURCE_EPS):
+    """Source-replay step of the --pseudo_list runs (main_target.py:668-691):
+    plain GT dice on the student Seg — on the SAME ingest-prefolded s2d
+    contract as the adaptation step, so the replay batch rides the folded
+    Pallas fast path instead of dropping to the raw-rep convs (the round-4
+    unfolded fallback cost the two domain_*_pseudo.bash recipes the whole
+    folded speedup). Dice sums are fold-invariant, so the loss equals the
+    raw-rep make_seg_train_step number (tests/test_train_steps.py)."""
+    from vae_segmentation_tpu.models.blocks import stage_wpack
+
+    wp = model.folded_io and stage_wpack(model.fmaps)
+
+    def step(state: TrainState, image: jax.Array, label: jax.Array):
+        img = image if image.ndim == 5 else image[..., None]
+        onehot = _folded_onehot(label, n_class, wp) if model.folded_io \
+            else L.one_hot_label(label, n_class)
+
+        def loss_fn(p):
+            p = stop_gradient_frozen(p, tx)
+            pred = model.apply({"params": p}, img, method=Joint.segment)
+            pred_v = _classes_view(pred, n_class, model.folded_io)
+            dsc_loss = 1.0 - L.avg_dsc(pred_v, onehot, botindex=1,
+                                       topindex=n_class, eps=eps)
+            return dsc_loss, pred
+
+        (dsc_loss, _), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads)
+        return new_state, {"dice_loss": dsc_loss}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_joint_train_step(model: Joint, tx, n_class: int, *,
                           eps: float = L.SOURCE_EPS):
     """joint_train (main_source.py:448-478):

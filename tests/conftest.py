@@ -34,6 +34,26 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 REFERENCE_DIR = "/root/reference"
 
+# Fast tier (round-4 verdict Next #8): every test in these modules is part
+# of the `-m smoke` subset unless individually marked slow. The selection is
+# by measured duration (pytest --durations, 2026-08-20, warm compile cache,
+# one core): the modules below cover losses/layout/kernels-interpret/data/
+# augment/checkpoint/postprocess/inventory in ~3 min; the model-level jit
+# parity suites, train steps, sharding meshes, CLI drives, and torch
+# cross-framework runs stay full-suite-only.
+_SMOKE_FILES = {
+    "test_losses.py", "test_s2d.py", "test_inventory.py",
+    "test_postprocess.py", "test_data.py", "test_preprocess.py",
+    "test_checkpoint.py", "test_augment.py", "test_native_loader.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (os.path.basename(str(item.fspath)) in _SMOKE_FILES
+                and "slow" not in item.keywords):
+            item.add_marker(pytest.mark.smoke)
+
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_DIR)

@@ -41,6 +41,7 @@ def _common(root):
     ]
 
 
+@pytest.mark.slow
 def test_full_workflow(workdir):
     from vae_segmentation_tpu.cli.source_main import main as src_main
     from vae_segmentation_tpu.cli.target_main import main as tgt_main

@@ -132,6 +132,7 @@ def test_vae_s2d_model_parity(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_adapt_step_folded_metric_parity(rng, monkeypatch):
     """One full teacher-student adaptation step with the folded pipeline
     (Joint folded_io + folded losses) must produce the same losses and

@@ -34,7 +34,13 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+# Cache EVERY compile, not just >10s ones: through the tunnel each compile
+# RPC costs seconds of wall time regardless of its local compile cost, and
+# a cold bench process issues hundreds of tiny eager-op compiles — measured
+# 2026-08-20: ~500 sub-10s MISSes accounted for most of an 18-min bench run
+# while the big train step itself HIT the cache.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 # Reference-implementation baseline (see BENCH.md for provenance): the
 # reference publishes no throughput numbers and its 4-GPU setup is not
@@ -75,15 +81,25 @@ def build():
     # the b4 128^3 step fits HBM without remat (BENCH.md)
     model = Joint(n_class=2, dim=128, vae_decoder_dropout=0.5,
                   folded_io=fold, trunk_remat=False)
-    init_img = jnp.zeros((1, SIDE, SIDE, SIDE, 1), jnp.float32)
-    params = model.init({"params": jax.random.PRNGKey(0)}, init_img)["params"]
+
+    # All device setup under as few jits as possible: flax's model.init and
+    # the per-leaf teacher copy run EAGERLY by default, dispatching hundreds
+    # of tiny one-op compiles — each a multi-second RPC through the tunnel
+    # (the dominant cost of a bench process, not the train-step compile).
+    @jax.jit
+    def init_all():
+        init_img = jnp.zeros((1, SIDE, SIDE, SIDE, 1), jnp.float32)
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            init_img)["params"]
+        return params, jax.tree.map(jnp.copy, params)
+
+    params, teacher = init_all()
     tx = optim.freeze_vae(optim.sgd(1e-3), params)
     cfg = AdaptConfig(n_class=2, domain_loss_type=8, vae_mont_number=1,
                       folded=fold)
     step = make_adapt_step(model, model, tx, cfg)
 
-    teacher = jax.tree.map(jnp.copy, params)
-    state = init_state(params, tx)
+    state = jax.jit(lambda p: init_state(p, tx))(params)  # one traced init
     sched = default_sched(lambda_vae=1.0)
 
     rng = np.random.default_rng(0)
@@ -99,8 +115,13 @@ def build():
         from vae_segmentation_tpu.ops import s2d
 
         wp = stage_wpack(model.fmaps)
-        image = s2d.fold_rep(image[..., None], wp)
-        label = s2d.fold_rep(label.astype(jnp.bfloat16)[..., None], wp)
+
+        @jax.jit
+        def fold_inputs(img, lab):
+            return (s2d.fold_rep(img[..., None], wp),
+                    s2d.fold_rep(lab.astype(jnp.bfloat16)[..., None], wp))
+
+        image, label = fold_inputs(image, label)
     return step, state, teacher, image, label, sched
 
 

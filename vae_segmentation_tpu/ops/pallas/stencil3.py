@@ -287,12 +287,37 @@ def _group_taps(g):
             for tw in opts(g[2])]
 
 
+@functools.lru_cache()
+def _group_mat(flip: bool):
+    """[8, 27] 0/1: tap-to-group membership in GROUPS order. flip=True
+    indexes the spatially-flipped tap (so pack_grouped of
+    flip(k, (0,1,2)) is ONE contraction — the backward's k_t prep)."""
+    import numpy as np
+    m = np.zeros((len(GROUPS), 27), np.float32)
+    for i, g in enumerate(GROUPS):
+        for td, th, tw in _group_taps(g):
+            if flip:
+                td, th, tw = -td, -th, -tw
+            m[i, ((td + 1) * 3 + (th + 1)) * 3 + (tw + 1)] = 1.0
+    return m
+
+
 def pack_grouped(k: jax.Array) -> jax.Array:
     """Fold-structured [3,3,3,Cin,Cout] -> [8, Cin, Cout]: per-group sums
-    (exact for s2d-expanded kernels — disjoint supports)."""
-    return jnp.stack([
-        sum(k[td + 1, th + 1, tw + 1] for td, th, tw in _group_taps(g))
-        for g in GROUPS])
+    (exact for s2d-expanded kernels — disjoint supports). One 0/1-matrix
+    contraction: the per-tap slice+add formulation cost dozens of small
+    device ops per conv site per step (round-5 trace)."""
+    mat = jnp.asarray(_group_mat(False), k.dtype)
+    return jnp.einsum("gt,tio->gio", mat, k.reshape(27, *k.shape[3:]),
+                      preferred_element_type=jnp.float32).astype(k.dtype)
+
+
+def pack_grouped_t(k: jax.Array) -> jax.Array:
+    """pack_grouped(flip(k, (0,1,2)).transpose(0,1,2,4,3)) in one
+    contraction — the dx kernels' transposed-kernel prep."""
+    mat = jnp.asarray(_group_mat(True), k.dtype)
+    return jnp.einsum("gt,tio->goi", mat, k.reshape(27, *k.shape[3:]),
+                      preferred_element_type=jnp.float32).astype(k.dtype)
 
 
 def _fold_bits(cin: int, c: int, wpack: bool):
@@ -937,11 +962,11 @@ def _grouped_backward(x, gy, k, wpack, pre=None, dlim=None):
     """Shared backward for every grouped folded op: returns
     (dx, dk_logical, db[, dst]) via the merged kernel (or the legacy
     dx+dk kernel pair under VAESEG_MERGED_BWD=0)."""
-    k_t = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    kg_t = pack_grouped_t(k)  # flip+transpose+pack in one contraction
     c_x = x.shape[-1] // (16 if wpack else 8)
     c_g = gy.shape[-1] // (16 if wpack else 8)
     if use_merged_bwd():
-        res = _run_bwd_grouped(x, gy, pack_grouped(k_t), c_x, c_g, wpack,
+        res = _run_bwd_grouped(x, gy, kg_t, c_x, c_g, wpack,
                                pre=pre, dlim=dlim)
         if pre is not None:
             dx, dkg, db, dst = res
@@ -949,14 +974,14 @@ def _grouped_backward(x, gy, k, wpack, pre=None, dlim=None):
         dx, dkg, db = res
         return dx, _unpack_grouped_grad(dkg), db
     if pre is not None:
-        dx, dst = _run_conv_grouped(gy, pack_grouped(k_t),
+        dx, dst = _run_conv_grouped(gy, kg_t,
                                     jnp.zeros((k.shape[3],), jnp.float32),
                                     False, c_g, wpack, post=(x, pre[0],
                                                              pre[1]),
                                     dlim=dlim)
         dkg, db = _run_dk_grouped(x, gy, c_x, wpack, pre=pre, dlim=dlim)
         return dx, _unpack_grouped_grad(dkg), db, dst
-    dx = _run_conv_grouped(gy, pack_grouped(k_t),
+    dx = _run_conv_grouped(gy, kg_t,
                            jnp.zeros((k.shape[3],), jnp.float32), False,
                            c_g, wpack)
     dkg, db = _run_dk_grouped(x, gy, c_x, wpack)
@@ -1009,14 +1034,12 @@ conv3_stencil.defvjp(_fwd, _bwd)
 def _unpack_grouped_grad(dkg: jax.Array) -> jax.Array:
     """Adjoint of pack_grouped: each tap receives its group's gradient
     (the projection onto the tap's support happens downstream through the
-    s2d kernel-expansion VJP)."""
-    gidx = {}
-    for i, g in enumerate(GROUPS):
-        for t in _group_taps(g):
-            gidx[t] = i
-    rows = [[jnp.stack([dkg[gidx[(td, th, tw)]] for tw in (-1, 0, 1)])
-             for th in (-1, 0, 1)] for td in (-1, 0, 1)]
-    return jnp.stack([jnp.stack(r) for r in rows])
+    s2d kernel-expansion VJP). One contraction with pack_grouped's
+    transposed 0/1 matrix."""
+    mat = jnp.asarray(_group_mat(False), dkg.dtype)
+    out = jnp.einsum("gt,gio->tio", mat, dkg,
+                     preferred_element_type=jnp.float32).astype(dkg.dtype)
+    return out.reshape(3, 3, 3, *dkg.shape[1:])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

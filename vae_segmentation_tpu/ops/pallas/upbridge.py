@@ -39,14 +39,16 @@ def _routing(k1: jax.Array, c: int, o: int) -> jax.Array:
     """k1 [C, 8O] (s2d.expand_up_kernel block layout) -> M [4, 8C, 16O]:
     M[2*ed+eh][(ed',eh',ew')*C + c, ew*8O + (delta,o)] =
     [ed'==ed][eh'==eh][ew'==ew] * k1[c, (delta,o)]."""
-    m = jnp.zeros((4, 8 * c, 16 * o), k1.dtype)
+    import numpy as np
+    sel = np.zeros((4, 8, 2), np.float32)  # [p=(ed,eh), e, ew]
     for ed in range(2):
         for eh in range(2):
             for ew in range(2):
-                e = (ed * 2 + eh) * 2 + ew
-                m = m.at[ed * 2 + eh, e * c:(e + 1) * c,
-                         ew * 8 * o:(ew + 1) * 8 * o].set(k1)
-    return m
+                sel[ed * 2 + eh, (ed * 2 + eh) * 2 + ew, ew] = 1.0
+    # one 0/1 contraction instead of 8 dynamic-update-slices per step
+    m = jnp.einsum("pew,cd->pecwd", jnp.asarray(sel, k1.dtype), k1,
+                   preferred_element_type=jnp.float32).astype(k1.dtype)
+    return m.reshape(4, 8 * c, 16 * o)
 
 
 def _fwd_kernel(x_ref, m_ref, b_ref, o_ref, *, hg: int, wg: int,
@@ -217,13 +219,11 @@ def _down_routing(k: jax.Array) -> jax.Array:
 
     c, o = k.shape[3], k.shape[4]
     kflat = s2d.expand_down_kernel(k).reshape(8 * c, o)
-    m = jnp.zeros((8, 8 * c, 8 * o), k.dtype)
-    for dd in range(2):
-        for dh in range(2):
-            for dw in range(2):
-                dl = (dd * 2 + dh) * 2 + dw
-                m = m.at[dl, :, dl * o:(dl + 1) * o].set(kflat)
-    return m
+    # block-diagonal placement as one 0/1 contraction (was 8 DUS ops/step)
+    eye = jnp.asarray(jnp.eye(8), k.dtype)
+    m = jnp.einsum("de,ao->daeo", eye, kflat,
+                   preferred_element_type=jnp.float32).astype(k.dtype)
+    return m.reshape(8, 8 * c, 8 * o)
 
 
 def _down_fwd_kernel(x_ref, m_ref, b_ref, o_ref, *, hg: int, wg: int,

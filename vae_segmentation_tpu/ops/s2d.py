@@ -109,24 +109,60 @@ def expand_kernel3(k: jax.Array) -> jax.Array:
     return out
 
 
+@functools.lru_cache()
+def _expand3_mat() -> np.ndarray:
+    """[27 (Δ-combo), NB (ε), NB (δ), 27 (logical tap)] 0/1 selection
+    matrix of expand_kernel3: every expanded element is exactly one
+    logical tap or zero, so the expansion is one small constant-matrix
+    contraction instead of a gather — the gather formulation lowered to
+    ~2000 tiny device ops PER STEP across the model's expansion sites
+    (4.2 ms/step in the round-5 trace; dyn-slices/reshapes/copies)."""
+    m = np.zeros((3, 3, 3, F, F, F, F, F, F, 27), np.float32)
+    for dd in range(3):
+        for hh in range(3):
+            for ww in range(3):
+                for ed in range(F):
+                    for eh in range(F):
+                        for ew in range(F):
+                            for od in range(F):
+                                for oh in range(F):
+                                    for ow in range(F):
+                                        td = _AX[dd, ed, od]
+                                        th = _AX[hh, eh, oh]
+                                        tw = _AX[ww, ew, ow]
+                                        if td < 0 or th < 0 or tw < 0:
+                                            continue
+                                        tap = (td * 3 + th) * 3 + tw
+                                        m[dd, hh, ww, ed, eh, ew,
+                                          od, oh, ow, tap] = 1.0
+    return m.reshape(27, NB, NB, 27)
+
+
+@functools.lru_cache()
+def _expand_w_mat() -> np.ndarray:
+    """[3 (w2), F (ε), F (δ), 3 (w tap)] 0/1: the per-W-axis fold rule of
+    expand_kernel_w as a selection matrix (same _AX rule, one axis)."""
+    m = np.zeros((3, F, F, 3), np.float32)
+    for w2 in range(3):
+        for eps in range(F):
+            for dlt in range(F):
+                t = _AX[w2, eps, dlt]
+                if t >= 0:
+                    m[w2, eps, dlt, t] = 1.0
+    return m
+
+
 def expand_kernel3_fast(k: jax.Array) -> jax.Array:
     """Vectorized expand_kernel3 (the loop version is the readable spec;
-    this is what the train step traces). Builds a gather of k's taps."""
+    this is what the train step traces): one 0/1-matrix contraction —
+    exact (each output element is a single tap copy; the bf16/f32 dot
+    multiplies by 1.0 and sums one nonzero term)."""
     cin, cout = k.shape[3], k.shape[4]
-    # Build [3,3,3, F,F,F (eps), F,F,F (delta)] tap indices + validity
-    tD = jnp.asarray(_AX)  # [3(Δ), F(ε), F(δ)], -1 = no tap
-    idx_d = tD[:, None, None, :, None, None, :, None, None]
-    idx_h = tD[None, :, None, None, :, None, None, :, None]
-    idx_w = tD[None, None, :, None, None, :, None, None, :]
-    shape = jnp.broadcast_shapes(idx_d.shape, idx_h.shape, idx_w.shape)
-    idx_d = jnp.broadcast_to(idx_d, shape)
-    idx_h = jnp.broadcast_to(idx_h, shape)
-    idx_w = jnp.broadcast_to(idx_w, shape)
-    valid = (idx_d >= 0) & (idx_h >= 0) & (idx_w >= 0)
-    gathered = k[jnp.clip(idx_d, 0), jnp.clip(idx_h, 0), jnp.clip(idx_w, 0)]
-    gathered = jnp.where(valid[..., None, None], gathered, 0.0)
-    # [Δd,Δh,Δw, εd,εh,εw, δd,δh,δw, cin, cout]
-    out = gathered.transpose(0, 1, 2, 3, 4, 5, 9, 6, 7, 8, 10)
+    mat = jnp.asarray(_expand3_mat(), k.dtype)
+    k27 = k.reshape(27, cin, cout)
+    # [Δ, ε, δ, τ] x [τ, ci, co] -> [Δ, ε, ci, δ, co]
+    out = jnp.einsum("xedt,tio->xeido", mat, k27,
+                     preferred_element_type=jnp.float32).astype(k.dtype)
     return out.reshape(3, 3, 3, NB * cin, NB * cout)
 
 
@@ -308,14 +344,10 @@ def expand_kernel_w(k: jax.Array) -> jax.Array:
     k[.., .., t] at t = 2*dw2 + eps - dlt + 1 (zero outside 0..2) — the
     same per-axis index rule as expand_kernel3, applied to one axis."""
     ci, co = k.shape[3], k.shape[4]
-    tD = jnp.asarray(_AX)  # [3, F, F] with F == WPACK == 2
-    idx = tD  # [dw2, eps, dlt]
-    valid = idx >= 0
-    # gather k along the w-tap axis: [3,3, dw2, eps, dlt, ci, co]
-    g = k[:, :, jnp.clip(idx, 0)]
-    g = jnp.where(valid[None, None, :, :, :, None, None], g, 0.0)
-    # -> [3,3, dw2, (eps, ci), (dlt, co)]
-    g = g.transpose(0, 1, 2, 3, 5, 4, 6)
+    mat = jnp.asarray(_expand_w_mat(), k.dtype)  # [w2, ε, δ, t]
+    # [w2, ε, δ, t] x [a, b, t, ci, co] -> [a, b, w2, ε, ci, δ, co]
+    g = jnp.einsum("wedt,abtio->abweido", mat, k,
+                   preferred_element_type=jnp.float32).astype(k.dtype)
     return g.reshape(3, 3, 3, WPACK * ci, WPACK * co)
 
 

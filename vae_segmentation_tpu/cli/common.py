@@ -46,6 +46,11 @@ def build_train_loader(cfg: CommonConfig, mesh, *, data_root: str,
                      mask_index=parse_pan_index(pan_index),
                      output_size=cfg.patch_size,
                      shift=getattr(cfg, "shift", 0))
+    if getattr(cfg, "aug_host", False) and not cfg.no_aug:
+        from vae_segmentation_tpu.data.pipeline import AugmentedDataset
+        ds = AugmentedDataset(ds, cfg.patch_size,
+                              order=getattr(cfg, "aug_order", 1),
+                              seed=cfg.seed + seed_salt)
     sharding = parallel.batch_sharding(
         mesh, shard_spatial=mesh.shape[parallel.SPATIAL_AXIS] > 1) \
         if mesh is not None else None
@@ -121,7 +126,10 @@ def make_train_ingest(cfg: CommonConfig, fold: int = 0) -> Callable:
     (models.blocks.stage_wpack)."""
     patch = tuple(cfg.patch_size)
     aug_order = getattr(cfg, "aug_order", 1)
-    no_aug = cfg.no_aug
+    # --aug_host: the warp already happened in the loader workers
+    # (data/pipeline.AugmentedDataset); the device ingest only
+    # normalizes + folds.
+    no_aug = cfg.no_aug or getattr(cfg, "aug_host", False)
 
     # One jit over the WHOLE ingest: without it only the inner
     # spatial_augment is compiled and the normalize + fold tail runs

@@ -73,6 +73,7 @@ class CommonConfig:
     weight_decay: float = 0.0
     val_batch: int = 1
     aug_order: int = 1
+    aug_host: bool = False
 
     def finalize(self) -> "CommonConfig":
         assert self.save_epoch % self.eval_epoch == 0
@@ -218,6 +219,15 @@ def _add_common(p: argparse.ArgumentParser):
                    help="augmentation image interpolation order: 1 = fast "
                         "trilinear (default), 3 = the reference's cubic "
                         "spline, exact on device (framework extension)")
+    p.add_argument("--aug_host", action="store_true",
+                   help="run the spatial augmentation on the host in the "
+                        "loader worker pool (the reference's 16-worker "
+                        "architecture, data/host_augment.py) instead of "
+                        "inside the device ingest jit; --aug_order picks "
+                        "the interpolation in both modes. Recommended with "
+                        "--aug_order 3: on-host the cubic warp overlaps "
+                        "device compute, on-device it is gather-bound "
+                        "(BENCH.md ingest table)")
     p.add_argument("--val_batch", type=int, default=1,
                    help="validation batch size (framework extension; eval "
                         "scores are per-sample so any value is exact)")

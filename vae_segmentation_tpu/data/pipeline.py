@@ -6,9 +6,11 @@ device_put prefetch. Per-item work on the host is only IO + CropResize
 geometry (irregular shapes); augmentation and intensity math run on-device in
 the compiled step (data/augment.py).
 
-Determinism: per-item host randomness is not used at all (the reference's
-host-side augmentation randomness moved on-device, keyed by the step PRNG);
-shuffling uses a seeded numpy Generator.
+Determinism: per-item host randomness is not used at all by default (the
+reference's host-side augmentation randomness moved on-device, keyed by the
+step PRNG); shuffling uses a seeded numpy Generator. With --aug_host the
+warp runs here instead (AugmentedDataset, data/host_augment.py), seeded per
+item index — still schedule-independent.
 """
 
 from __future__ import annotations
@@ -56,6 +58,35 @@ class CaseDataset:
                           shift=self.shift, bbox=case.get("bbox"))
         out["id"] = case["id"]
         out["index"] = idx
+        return out
+
+
+class AugmentedDataset:
+    """CaseDataset + the reference's spatial augmentation ON THE HOST
+    (data/host_augment.py), applied in the loader's worker threads so it
+    overlaps device compute — the reference's own 16-worker architecture
+    (main_source.py:191-206). Each item draws from a Generator seeded with
+    (seed, idx): deterministic under any worker count/schedule."""
+
+    def __init__(self, base: CaseDataset, patch_size: Sequence[int],
+                 order: int, seed: int):
+        self.base = base
+        self.patch_size = tuple(patch_size)
+        self.order = order
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        from vae_segmentation_tpu.data.host_augment import \
+            augment_spatial_host
+
+        out = self.base[idx]
+        rng = np.random.default_rng((self.seed, idx))
+        img, lab = augment_spatial_host(out["image"], out["label"], rng,
+                                        self.patch_size, order=self.order)
+        out["image"], out["label"] = img, lab
         return out
 
 

@@ -334,3 +334,45 @@ def test_up_fold_bridge_exact(rng):
     np.testing.assert_allclose(np.asarray(got_w),
                                np.asarray(s2d.fold_w(ref_folded)),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_conv3_deep_wpack_exact(rng):
+    """The W-pack composes RECURSIVELY: fold_w applied twice (lane-dense
+    rep for small-channel volumes, e.g. the 2-class probability tensors —
+    BENCH.md round-5 final trace, lever #1) with expand_kernel_w applied
+    twice still equals the logical 3^3 SAME conv. Each fold level is the
+    same per-axis index rule, so exactness is inherited level by level;
+    this test pins the composition so the deep-rep plumbing can rely on
+    it."""
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 32, 2)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 2)) * 0.3, jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    kd = s2d.expand_kernel_w(s2d.expand_kernel_w(s2d.expand_kernel3_fast(k)))
+    xd = s2d.fold_w(s2d.fold_w(s2d.fold(x)))  # [2,4,4,4,64]: W/8 in lanes
+    got = jax.lax.conv_general_dilated(
+        xd, kd, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = s2d.unfold(s2d.unfold_w(s2d.unfold_w(got)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_norm_softmax_deep_wpack_exact(rng):
+    """instance_norm_folded / softmax_folded are lane-layout-agnostic
+    (stats/groups keyed by the original channel count), so they hold
+    unchanged on the deep W-packed rep — class axis stays lane-minor."""
+    from vae_segmentation_tpu.models.blocks import instance_norm
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 32, 2)), jnp.float32)
+    c = x.shape[-1]
+    xd = s2d.fold_w(s2d.fold_w(s2d.fold(x)))
+    unfold_d = lambda t: s2d.unfold(s2d.unfold_w(s2d.unfold_w(t)))  # noqa
+    np.testing.assert_allclose(
+        np.asarray(unfold_d(s2d.instance_norm_folded(xd, c))),
+        np.asarray(instance_norm(x)), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(unfold_d(s2d.softmax_folded(xd, c))),
+        np.asarray(jax.nn.softmax(x.astype(jnp.float32), axis=-1)),
+        rtol=1e-5, atol=1e-5)

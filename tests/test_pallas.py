@@ -468,3 +468,26 @@ def test_softmax_group_vjp_exact(rng):
             np.asarray(got, jnp.float32), np.asarray(want, jnp.float32),
             rtol=2e-2 if dt == jnp.bfloat16 else 1e-6,
             atol=2e-2 if dt == jnp.bfloat16 else 1e-6)
+
+
+def test_multi_soft_dice_deep_wpack_rep(rng):
+    """multi_soft_dice is rep-agnostic as long as the class axis stays
+    lane-minor — which the recursive W-pack preserves (tests/test_s2d.py
+    test_conv3_deep_wpack_exact). Pin the loss side of the planned
+    lane-dense class-2 rep (BENCH.md round-5 lever #1): per-class Dice on
+    the twice-W-packed rep equals the same volumes' Dice on the plain
+    folded rep."""
+    from vae_segmentation_tpu.ops import s2d
+    from vae_segmentation_tpu.ops.pallas.dicesums import multi_soft_dice
+
+    n = 2
+    x = jnp.asarray(rng.random((2, 8, 8, 32, n)), jnp.float32)
+    t = jnp.asarray(rng.random((2, 8, 8, 32, n)) > 0.5, jnp.float32)
+    deep = lambda v: s2d.fold_w(s2d.fold_w(s2d.fold(v)))  # noqa: E731
+    got = multi_soft_dice(deep(x).astype(jnp.bfloat16),
+                          (deep(t).astype(jnp.bfloat16),), n, eps=L.EVAL_EPS)
+    want = multi_soft_dice(s2d.fold(x).astype(jnp.bfloat16),
+                           (s2d.fold(t).astype(jnp.bfloat16),), n,
+                           eps=L.EVAL_EPS)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=2e-3, atol=2e-3)
